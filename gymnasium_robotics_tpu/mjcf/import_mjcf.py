@@ -1,0 +1,269 @@
+"""Host-side MJCF model import: ``mujoco.MjModel`` -> frozen JAX ``Model`` pytree.
+
+TPU-native split (MJX-style): MJCF parsing/compilation happens ONCE on the host
+using the external MuJoCo compiler (the reference instead keeps a live MjModel +
+MjData per env and calls mj_step through FFI every step —
+gymnasium_robotics/envs/robot_env.py:292-341). Here the compiled model is frozen
+into device arrays + hashable static metadata; stepping is pure JAX on TPU.
+
+Mesh geoms are approximated by their local-frame bounding boxes for collision
+(mesh collision proper is a later-round component); this importer records the
+substitution so narrowphase only ever sees primitive types.
+
+Also computes the static collision candidate pair table (the analogue of
+MuJoCo's dynamic broadphase): contype/conaffinity compatibility, same-body and
+parent-child filtering, and <exclude> pairs — all resolved at import time so the
+jitted step has a fixed contact layout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gymnasium_robotics_tpu.physics import types as T
+
+
+def _tup(a) -> tuple:
+    return tuple(int(x) for x in np.asarray(a).ravel())
+
+
+def _names(m, count, adr_field):
+    out = []
+    raw = m.names
+    for i in range(count):
+        adr = getattr(m, adr_field)[i]
+        end = raw.find(b"\x00", adr)
+        out.append(raw[adr:end].decode())
+    return tuple(out)
+
+
+def _levels(parent: np.ndarray):
+    depth = np.zeros(len(parent), dtype=int)
+    for b in range(1, len(parent)):
+        depth[b] = depth[parent[b]] + 1
+    levels = []
+    for d in range(depth.max() + 1 if len(parent) else 0):
+        levels.append(tuple(int(b) for b in np.nonzero(depth == d)[0]))
+    return tuple(levels)
+
+
+def _collision_pairs(m, geom_type) -> tuple:
+    """Static candidate pairs, mirroring MuJoCo's broadphase filters."""
+    pairs = []
+    weld = m.body_weldid
+    # weld-parent of each welded-body group
+    weld_parent = np.array([weld[m.body_parentid[b]] for b in range(m.nbody)])
+    excludes = set()
+    for i in range(m.nexclude):
+        sig = int(m.exclude_signature[i])
+        excludes.add((sig >> 16, sig & 0xFFFF))
+
+    for g1 in range(m.ngeom):
+        for g2 in range(g1 + 1, m.ngeom):
+            b1, b2 = int(m.geom_bodyid[g1]), int(m.geom_bodyid[g2])
+            w1, w2 = int(weld[b1]), int(weld[b2])
+            if w1 == w2:
+                continue
+            # parent filter: skip welded parent-child unless parent is world
+            wp1, wp2 = int(weld_parent[b1]), int(weld_parent[b2])
+            if (w1 == wp2 and w1 != 0) or (w2 == wp1 and w2 != 0):
+                continue
+            ct1, ca1 = int(m.geom_contype[g1]), int(m.geom_conaffinity[g1])
+            ct2, ca2 = int(m.geom_contype[g2]), int(m.geom_conaffinity[g2])
+            if not ((ct1 & ca2) or (ct2 & ca1)):
+                continue
+            if (b1, b2) in excludes or (b2, b1) in excludes:
+                continue
+            t1, t2 = int(geom_type[g1]), int(geom_type[g2])
+            # canonical order: lower type code first (plane < sphere < ... )
+            if t1 > t2:
+                g1s, g2s = g2, g1
+            else:
+                g1s, g2s = g1, g2
+            pairs.append((g1s, g2s))
+    return tuple(pairs)
+
+
+def import_model(m, dtype=np.float32) -> "T.Model":
+    """Convert a compiled mujoco.MjModel into the engine's Model pytree."""
+    import jax.numpy as jnp
+
+    geom_type = np.array(m.geom_type, dtype=int)
+    geom_pos = np.array(m.geom_pos, dtype=dtype)
+    geom_quat = np.array(m.geom_quat, dtype=dtype)
+    geom_size = np.array(m.geom_size, dtype=dtype)
+
+    # Mesh -> bounding box substitution (collision approximation, round-1).
+    for g in range(m.ngeom):
+        if geom_type[g] == T.MESH:
+            aabb = np.array(m.geom_aabb[g], dtype=dtype)  # center(3), halfsize(3)
+            center, half = aabb[:3], np.maximum(aabb[3:], 1e-4)
+            # offset the geom frame by the aabb center (in geom frame)
+            from scipy.spatial.transform import Rotation as R
+
+            rot = R.from_quat(geom_quat[g][[1, 2, 3, 0]]).as_matrix()
+            geom_pos[g] = geom_pos[g] + rot @ center
+            geom_size[g] = half
+            geom_type[g] = T.BOX
+
+    opt = T.Option(
+        timestep=float(m.opt.timestep),
+        gravity=tuple(float(x) for x in m.opt.gravity),
+        iterations=int(m.opt.iterations),
+        ls_iterations=int(getattr(m.opt, "ls_iterations", 50)),
+        tolerance=float(m.opt.tolerance),
+        impratio=float(m.opt.impratio),
+        integrator=int(m.opt.integrator),
+        density=float(m.opt.density),
+        viscosity=float(m.opt.viscosity),
+        disable_contact=bool(m.opt.disableflags & (1 << 4)),
+        disable_gravity=bool(m.opt.disableflags & (1 << 6)),
+        disable_limit=bool(m.opt.disableflags & (1 << 3)),
+        disable_equality=bool(m.opt.disableflags & (1 << 1)),
+        disable_clampctrl=bool(m.opt.disableflags & (1 << 5)),
+    )
+
+    from gymnasium_robotics_tpu.physics import collision as _col
+
+    pairs = _collision_pairs(m, geom_type)
+    slot = _col.slot_params(m, pairs, geom_type)
+
+    meta = T.Meta(
+        nq=int(m.nq), nv=int(m.nv), nu=int(m.nu), na=int(m.na),
+        nbody=int(m.nbody), njnt=int(m.njnt), ngeom=int(m.ngeom),
+        nsite=int(m.nsite), neq=int(m.neq), nmocap=int(m.nmocap),
+        ntendon=int(m.ntendon), nwrap=int(m.nwrap),
+        nsensor=int(m.nsensor), nsensordata=int(m.nsensordata),
+        opt=opt,
+        body_parentid=_tup(m.body_parentid),
+        body_rootid=_tup(m.body_rootid),
+        body_jntadr=_tup(m.body_jntadr),
+        body_jntnum=_tup(m.body_jntnum),
+        body_dofadr=_tup(m.body_dofadr),
+        body_dofnum=_tup(m.body_dofnum),
+        body_mocapid=_tup(m.body_mocapid),
+        body_weldid=_tup(m.body_weldid),
+        levels=_levels(np.array(m.body_parentid)),
+        jnt_type=_tup(m.jnt_type),
+        jnt_qposadr=_tup(m.jnt_qposadr),
+        jnt_dofadr=_tup(m.jnt_dofadr),
+        jnt_bodyid=_tup(m.jnt_bodyid),
+        jnt_limited=_tup(m.jnt_limited),
+        jnt_actfrclimited=_tup(getattr(m, "jnt_actfrclimited", np.zeros(m.njnt))),
+        dof_bodyid=_tup(m.dof_bodyid),
+        dof_jntid=_tup(m.dof_jntid),
+        dof_parentid=_tup(m.dof_parentid),
+        geom_type=_tup(geom_type),
+        geom_bodyid=_tup(m.geom_bodyid),
+        geom_condim=_tup(m.geom_condim),
+        geom_priority=_tup(m.geom_priority),
+        site_bodyid=_tup(m.site_bodyid),
+        eq_type=_tup(m.eq_type),
+        eq_obj1id=_tup(m.eq_obj1id),
+        eq_obj2id=_tup(m.eq_obj2id),
+        eq_active0=_tup(m.eq_active0),
+        actuator_trntype=_tup(m.actuator_trntype),
+        actuator_trnid=_tup(m.actuator_trnid[:, 0]) if m.nu else (),
+        actuator_gaintype=_tup(m.actuator_gaintype),
+        actuator_biastype=_tup(m.actuator_biastype),
+        actuator_dyntype=_tup(m.actuator_dyntype),
+        actuator_ctrllimited=_tup(m.actuator_ctrllimited),
+        actuator_forcelimited=_tup(m.actuator_forcelimited),
+        actuator_actadr=_tup(m.actuator_actadr),
+        actuator_actnum=_tup(m.actuator_actnum),
+        tendon_adr=_tup(m.tendon_adr),
+        tendon_num=_tup(m.tendon_num),
+        tendon_limited=_tup(m.tendon_limited),
+        wrap_objid=_tup(m.wrap_objid),
+        sensor_type=_tup(m.sensor_type),
+        sensor_objid=_tup(m.sensor_objid),
+        sensor_adr=_tup(m.sensor_adr),
+        sensor_dim=_tup(m.sensor_dim),
+        pairs=pairs,
+        con_condim=slot["condim"],
+        has_damping=bool(np.any(np.asarray(m.dof_damping) > 0)),
+        body_names=_names(m, m.nbody, "name_bodyadr"),
+        joint_names=_names(m, m.njnt, "name_jntadr"),
+        geom_names=_names(m, m.ngeom, "name_geomadr"),
+        site_names=_names(m, m.nsite, "name_siteadr"),
+        actuator_names=_names(m, m.nu, "name_actuatoradr"),
+        sensor_names=_names(m, m.nsensor, "name_sensoradr"),
+        tendon_names=_names(m, m.ntendon, "name_tendonadr"),
+    )
+
+    def arr(x, dt=dtype):
+        return jnp.asarray(np.array(x, dtype=dt))
+
+    return T.Model(
+        meta=meta,
+        qpos0=arr(m.qpos0),
+        qpos_spring=arr(m.qpos_spring),
+        body_pos=arr(m.body_pos),
+        body_quat=arr(m.body_quat),
+        body_ipos=arr(m.body_ipos),
+        body_iquat=arr(m.body_iquat),
+        body_mass=arr(m.body_mass),
+        body_subtreemass=arr(m.body_subtreemass),
+        body_inertia=arr(m.body_inertia),
+        body_invweight0=arr(m.body_invweight0),
+        jnt_pos=arr(m.jnt_pos),
+        jnt_axis=arr(m.jnt_axis),
+        jnt_range=arr(m.jnt_range),
+        jnt_stiffness=arr(m.jnt_stiffness),
+        jnt_margin=arr(m.jnt_margin),
+        jnt_solref=arr(m.jnt_solref),
+        jnt_solimp=arr(m.jnt_solimp),
+        dof_armature=arr(m.dof_armature),
+        dof_damping=arr(m.dof_damping),
+        dof_frictionloss=arr(m.dof_frictionloss),
+        dof_invweight0=arr(m.dof_invweight0),
+        dof_solref=arr(m.dof_solref),
+        dof_solimp=arr(m.dof_solimp),
+        geom_pos=arr(geom_pos),
+        geom_quat=arr(geom_quat),
+        geom_size=arr(geom_size),
+        geom_friction=arr(m.geom_friction),
+        geom_margin=arr(m.geom_margin),
+        geom_gap=arr(m.geom_gap),
+        geom_solref=arr(m.geom_solref),
+        geom_solimp=arr(m.geom_solimp),
+        geom_solmix=arr(m.geom_solmix),
+        geom_rbound=arr(m.geom_rbound),
+        site_pos=arr(m.site_pos),
+        site_quat=arr(m.site_quat),
+        eq_data=arr(m.eq_data),
+        eq_solref=arr(m.eq_solref),
+        eq_solimp=arr(m.eq_solimp),
+        actuator_gear=arr(m.actuator_gear),
+        actuator_ctrlrange=arr(m.actuator_ctrlrange),
+        actuator_forcerange=arr(m.actuator_forcerange),
+        actuator_actrange=arr(m.actuator_actrange),
+        actuator_gainprm=arr(m.actuator_gainprm),
+        actuator_biasprm=arr(m.actuator_biasprm),
+        actuator_dynprm=arr(m.actuator_dynprm),
+        tendon_range=arr(m.tendon_range),
+        tendon_stiffness=arr(m.tendon_stiffness),
+        tendon_damping=arr(m.tendon_damping),
+        tendon_lengthspring=arr(m.tendon_lengthspring),
+        tendon_invweight0=arr(m.tendon_invweight0),
+        tendon_solref_lim=arr(m.tendon_solref_lim),
+        tendon_solimp_lim=arr(m.tendon_solimp_lim),
+        tendon_margin=arr(m.tendon_margin),
+        wrap_prm=arr(m.wrap_prm),
+        con_friction=arr(slot["friction"]),
+        con_solref=arr(slot["solref"]),
+        con_solimp=arr(slot["solimp"]),
+        con_includemargin=arr(slot["includemargin"]),
+    )
+
+
+def import_xml_path(path: str, dtype=np.float32) -> "T.Model":
+    import mujoco
+
+    return import_model(mujoco.MjModel.from_xml_path(path), dtype=dtype)
+
+
+def import_xml_string(xml: str, dtype=np.float32, assets=None) -> "T.Model":
+    import mujoco
+
+    return import_model(mujoco.MjModel.from_xml_string(xml, assets or {}), dtype=dtype)

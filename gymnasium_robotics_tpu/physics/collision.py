@@ -1,0 +1,372 @@
+"""Narrowphase collision over the static candidate pair table.
+
+The broadphase equivalent (which geoms may ever touch) is resolved at import
+time into ``Meta.pairs`` (see mjcf/import_mjcf.py), so the jitted step has a
+fixed contact layout: every candidate pair owns a fixed number of contact slots
+determined by its type pair, and slots report a signed distance (``dist``);
+slots with ``dist`` above the pair margin are inactive and contribute zero
+constraint cost. This replaces MuJoCo's dynamic mjContact list with a
+fixed-shape, vmap-friendly structure.
+
+Contact parameter mixing (friction/solref/solimp/margin via solmix & priority,
+mirroring mj_contactParam) is precomputed per pair at import time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gymnasium_robotics_tpu.physics import math as gm
+from gymnasium_robotics_tpu.physics import types as T
+
+# contacts slots generated per (type1, type2) pair; types canonically ordered
+_SLOTS = {
+    (T.PLANE, T.SPHERE): 1,
+    (T.PLANE, T.CAPSULE): 2,
+    (T.PLANE, T.BOX): 4,
+    (T.PLANE, T.CYLINDER): 2,
+    (T.PLANE, T.ELLIPSOID): 1,
+    (T.SPHERE, T.SPHERE): 1,
+    (T.SPHERE, T.CAPSULE): 1,
+    (T.SPHERE, T.BOX): 1,
+    (T.SPHERE, T.CYLINDER): 1,
+    (T.SPHERE, T.ELLIPSOID): 1,
+    (T.CAPSULE, T.CAPSULE): 1,
+    (T.CAPSULE, T.BOX): 3,
+    (T.CAPSULE, T.CYLINDER): 1,
+    (T.CAPSULE, T.ELLIPSOID): 1,
+    (T.BOX, T.BOX): 8,
+    (T.CYLINDER, T.CYLINDER): 1,
+    (T.CYLINDER, T.BOX): 3,
+    (T.ELLIPSOID, T.BOX): 1,
+    (T.ELLIPSOID, T.ELLIPSOID): 1,
+    (T.ELLIPSOID, T.CYLINDER): 1,
+}
+
+
+def pair_slots(t1: int, t2: int) -> int:
+    return _SLOTS.get((min(t1, t2), max(t1, t2)), 1)
+
+
+def ncon(m: T.Model) -> int:
+    mt = m.meta
+    return sum(
+        pair_slots(mt.geom_type[g1], mt.geom_type[g2]) for g1, g2 in mt.pairs
+    )
+
+
+_BIG = 1e10
+
+
+def _far(n, dtype):
+    return (
+        jnp.full((n,), _BIG, dtype),
+        jnp.zeros((n, 3), dtype),
+        jnp.tile(jnp.array([0.0, 0, 1.0], dtype), (n, 1)),
+    )
+
+
+# Each primitive fn returns (dist (k,), pos (k,3), normal (k,3)); normal points
+# from geom1 into geom2 (MuJoCo convention: frame z-axis from geom1 to geom2).
+
+def _plane_sphere(p1, R1, s1, p2, R2, s2):
+    n = R1[:, 2]
+    dist = jnp.dot(n, p2 - p1) - s2[0]
+    pos = p2 - n * (s2[0] + 0.5 * dist)
+    return dist[None], pos[None], n[None]
+
+
+def _plane_capsule(p1, R1, s1, p2, R2, s2):
+    n = R1[:, 2]
+    axis = R2[:, 2]
+    ends = jnp.stack([p2 + axis * s2[1], p2 - axis * s2[1]])
+    dist = ends @ n - jnp.dot(p1, n) - s2[0]
+    pos = ends - n * (s2[0] + 0.5 * dist)[:, None]
+    return dist, pos, jnp.tile(n, (2, 1))
+
+
+def _box_corners(p, R, s):
+    sign = jnp.array(
+        [[i, j, k] for i in (-1, 1) for j in (-1, 1) for k in (-1, 1)],
+        dtype=p.dtype,
+    )
+    return p + (sign * s) @ R.T  # (8, 3)
+
+
+def _plane_box(p1, R1, s1, p2, R2, s2):
+    n = R1[:, 2]
+    corners = _box_corners(p2, R2, s2)  # (8,3)
+    dist = corners @ n - jnp.dot(p1, n)
+    # keep the 4 deepest corners
+    idx = jnp.argsort(dist)[:4]
+    dist4 = dist[idx]
+    pos = corners[idx] - 0.5 * dist4[:, None] * n
+    return dist4, pos, jnp.tile(n, (4, 1))
+
+
+def _plane_cylinder(p1, R1, s1, p2, R2, s2):
+    # approximate: two rim points nearest the plane
+    n = R1[:, 2]
+    axis = R2[:, 2]
+    # radial direction most anti-parallel to plane normal
+    perp = n - axis * jnp.dot(n, axis)
+    pn, norm = gm.normalize(perp)
+    rad = -pn * s2[0]
+    rad = jnp.where(norm > 1e-6, rad, R2[:, 0] * s2[0])
+    ends = jnp.stack([p2 + axis * s2[1] + rad, p2 - axis * s2[1] + rad])
+    dist = ends @ n - jnp.dot(p1, n)
+    pos = ends - 0.5 * dist[:, None] * n
+    return dist, pos, jnp.tile(n, (2, 1))
+
+
+def _sphere_sphere(p1, R1, s1, p2, R2, s2):
+    dvec = p2 - p1
+    nrm, dist0 = gm.normalize(dvec)
+    n = jnp.where(dist0 > 1e-9, nrm, jnp.array([0.0, 0, 1.0], p1.dtype))
+    dist = dist0 - s1[0] - s2[0]
+    pos = p1 + n * (s1[0] + 0.5 * dist)
+    return dist[None], pos[None], n[None]
+
+
+def _closest_on_seg(p, a, b):
+    ab = b - a
+    t = jnp.clip(jnp.dot(p - a, ab) / jnp.maximum(jnp.dot(ab, ab), 1e-12), 0, 1)
+    return a + t * ab
+
+
+def _sphere_capsule(p1, R1, s1, p2, R2, s2):
+    axis = R2[:, 2]
+    a, b = p2 - axis * s2[1], p2 + axis * s2[1]
+    c = _closest_on_seg(p1, a, b)
+    return _sphere_sphere(p1, R1, s1, c, R2, jnp.array([s2[0], 0, 0], s2.dtype))
+
+
+def _sphere_box(p1, R1, s1, p2, R2, s2):
+    # sphere center in box frame
+    loc = R2.T @ (p1 - p2)
+    clamped = jnp.clip(loc, -s2, s2)
+    inside = jnp.all(jnp.abs(loc) < s2)
+    # outside: closest point on surface; inside: push out along min-penetration face
+    face_dist = s2 - jnp.abs(loc)
+    k = jnp.argmin(face_dist)
+    push = jnp.zeros(3, p1.dtype).at[k].set(jnp.sign(loc[k]) * s2[k])
+    surf_in = jnp.where(jnp.arange(3) == k, push, loc)
+    surf = jnp.where(inside, surf_in, clamped)
+    world = p2 + R2 @ surf
+    dvec = world - p1
+    nrm, d0 = gm.normalize(dvec)
+    n_out = jnp.where(d0 > 1e-9, nrm, R2[:, 2])
+    dist_out = d0 - s1[0]
+    dist_in = -(jnp.min(face_dist) + s1[0])
+    outward = jnp.sign(loc[k]) * jnp.eye(3, dtype=p1.dtype)[k]  # box-frame face normal
+    n_in = -(R2 @ outward)
+    n = jnp.where(inside, n_in, n_out)  # normal from sphere(g1) into box(g2)
+    dist = jnp.where(inside, dist_in, dist_out)
+    pos = p1 + n * (s1[0] + 0.5 * dist)
+    return dist[None], pos[None], n[None]
+
+
+def _seg_seg_closest(a1, b1, a2, b2):
+    d1 = b1 - a1
+    d2 = b2 - a2
+    r = a1 - a2
+    A = jnp.dot(d1, d1)
+    e = jnp.dot(d2, d2)
+    f = jnp.dot(d2, r)
+    c = jnp.dot(d1, r)
+    b = jnp.dot(d1, d2)
+    denom = A * e - b * b
+    s = jnp.where(jnp.abs(denom) > 1e-12, (b * f - c * e) / denom, 0.0)
+    s = jnp.clip(s, 0, 1)
+    t = jnp.where(e > 1e-12, (b * s + f) / e, 0.0)
+    t = jnp.clip(t, 0, 1)
+    s = jnp.clip(jnp.where(A > 1e-12, (b * t - c) / A, 0.0), 0, 1)
+    return a1 + s * d1, a2 + t * d2
+
+
+def _capsule_capsule(p1, R1, s1, p2, R2, s2):
+    ax1, ax2 = R1[:, 2], R2[:, 2]
+    c1, c2 = _seg_seg_closest(
+        p1 - ax1 * s1[1], p1 + ax1 * s1[1], p2 - ax2 * s2[1], p2 + ax2 * s2[1]
+    )
+    return _sphere_sphere(
+        c1, R1, s1, c2, R2, jnp.array([s2[0], 0, 0], s2.dtype)
+    )
+
+
+def _capsule_box(p1, R1, s1, p2, R2, s2):
+    # sample 3 spheres along the capsule axis (ends + middle)
+    ax = R1[:, 2]
+    outs = []
+    for t in (-1.0, 0.0, 1.0):
+        c = p1 + ax * (t * s1[1])
+        dist, pos, n = _sphere_box(c, R1, s1, p2, R2, s2)
+        outs.append((dist, pos, n))
+    return (
+        jnp.concatenate([o[0] for o in outs]),
+        jnp.concatenate([o[1] for o in outs]),
+        jnp.concatenate([o[2] for o in outs]),
+    )
+
+
+def _box_box(p1, R1, s1, p2, R2, s2):
+    """Vertex-face contacts both directions (4 deepest each). Round-1 box-box;
+    edge-edge cases are approximated by the deepest vertex contacts."""
+
+    def verts_in_box(pa, Ra, sa, pb, Rb, sb, sign):
+        corners = _box_corners(pa, Ra, sa)  # (8,3)
+        loc = (corners - pb) @ Rb  # in b frame
+        face_dist = sb - jnp.abs(loc)  # (8,3) positive inside
+        pen = jnp.min(face_dist, axis=1)  # (8,) >0 inside
+        k = jnp.argmin(face_dist, axis=1)  # face index
+        sgn = jnp.sign(jnp.take_along_axis(loc, k[:, None], 1))[:, 0]
+        n_loc = jax.nn.one_hot(k, 3, dtype=pa.dtype) * sgn[:, None]
+        n_world = n_loc @ Rb.T  # outward normal of box b at face
+        dist = -pen  # negative = penetrating
+        dist = jnp.where(pen > 0, dist, _BIG)  # only vertices inside count
+        idx = jnp.argsort(dist)[:4]
+        d4 = dist[idx]
+        depth = jnp.where(d4 < 0, d4, 0.0)
+        pos = corners[idx] - 0.5 * depth[:, None] * (sign * n_world[idx])
+        # normal from geom1 into geom2
+        return d4, pos, sign * n_world[idx]
+
+    # vertices of box2 inside box1: normal = outward of box1 = from 1 into 2
+    d_a, pos_a, n_a = verts_in_box(p2, R2, s2, p1, R1, s1, 1.0)
+    # vertices of box1 inside box2: outward of box2 points from 2 into 1 -> flip
+    d_b, pos_b, n_b = verts_in_box(p1, R1, s1, p2, R2, s2, -1.0)
+    return (
+        jnp.concatenate([d_a, d_b]),
+        jnp.concatenate([pos_a, pos_b]),
+        jnp.concatenate([n_a, n_b]),
+    )
+
+
+def _dispatch(t1, t2):
+    table = {
+        (T.PLANE, T.SPHERE): _plane_sphere,
+        (T.PLANE, T.CAPSULE): _plane_capsule,
+        (T.PLANE, T.BOX): _plane_box,
+        (T.PLANE, T.CYLINDER): _plane_cylinder,
+        (T.PLANE, T.ELLIPSOID): _plane_sphere,
+        (T.SPHERE, T.SPHERE): _sphere_sphere,
+        (T.SPHERE, T.CAPSULE): _sphere_capsule,
+        (T.SPHERE, T.BOX): _sphere_box,
+        (T.SPHERE, T.CYLINDER): _sphere_capsule,
+        (T.SPHERE, T.ELLIPSOID): _sphere_sphere,
+        (T.CAPSULE, T.CAPSULE): _capsule_capsule,
+        (T.CAPSULE, T.BOX): _capsule_box,
+        (T.CAPSULE, T.CYLINDER): _capsule_capsule,
+        (T.BOX, T.BOX): _box_box,
+        (T.CYLINDER, T.BOX): _capsule_box,
+        (T.CYLINDER, T.CYLINDER): _capsule_capsule,
+    }
+    return table.get((t1, t2))
+
+
+def _contact_frame(n):
+    """Build an orthonormal frame (normal, tan1, tan2) rows from normal."""
+    a = jnp.where(
+        jnp.abs(n[..., 0:1]) < 0.5,
+        jnp.array([1.0, 0, 0], n.dtype),
+        jnp.array([0.0, 1, 0], n.dtype),
+    )
+    t1 = jnp.cross(n, a)
+    t1, _ = gm.normalize(t1)
+    t2 = jnp.cross(n, t1)
+    return jnp.stack([n, t1, t2], axis=-2)
+
+
+def collision(m: T.Model, d: T.Data) -> T.Data:
+    mt = m.meta
+    dtype = d.qpos.dtype
+    n_total = ncon(m)
+    if not mt.pairs or mt.opt.disable_contact:
+        contact = T.Contact(
+            dist=jnp.full((n_total,), _BIG, dtype),
+            pos=jnp.zeros((n_total, 3), dtype),
+            frame=jnp.tile(jnp.eye(3, dtype=dtype), (n_total, 1, 1)),
+            geom1=jnp.zeros(n_total, jnp.int32),
+            geom2=jnp.zeros(n_total, jnp.int32),
+        )
+        return dataclasses.replace(d, contact=contact)
+
+    dists, poss, normals, g1s, g2s = [], [], [], [], []
+    for g1, g2 in mt.pairs:
+        t1, t2 = mt.geom_type[g1], mt.geom_type[g2]
+        fn = _dispatch(t1, t2)
+        k = pair_slots(t1, t2)
+        if fn is None:
+            dd, pp, nn = _far(k, dtype)
+        else:
+            dd, pp, nn = fn(
+                d.geom_xpos[g1], d.geom_xmat[g1], m.geom_size[g1],
+                d.geom_xpos[g2], d.geom_xmat[g2], m.geom_size[g2],
+            )
+        dists.append(dd)
+        poss.append(pp)
+        normals.append(nn)
+        g1s += [g1] * k
+        g2s += [g2] * k
+
+    dist = jnp.concatenate(dists)
+    pos = jnp.concatenate(poss)
+    normal = jnp.concatenate(normals)
+    contact = T.Contact(
+        dist=dist,
+        pos=pos,
+        frame=_contact_frame(normal),
+        geom1=jnp.asarray(g1s, jnp.int32),
+        geom2=jnp.asarray(g2s, jnp.int32),
+    )
+    return dataclasses.replace(d, contact=contact)
+
+
+def slot_params(mjm, pairs, geom_type=None) -> dict:
+    """Per-contact-slot parameters from a raw mujoco.MjModel (import-time only).
+
+    Mirrors MuJoCo's mj_contactParam mixing: priority override, solmix-weighted
+    solref/solimp, elementwise-max friction, max margin/gap.
+    """
+    fric, solref, solimp, margin, condim = [], [], [], [], []
+    gt = np.asarray(geom_type if geom_type is not None else mjm.geom_type)
+    for g1, g2 in pairs:
+        p1, p2 = int(mjm.geom_priority[g1]), int(mjm.geom_priority[g2])
+        k = pair_slots(int(gt[g1]), int(gt[g2]))
+        if p1 != p2:
+            src = g1 if p1 > p2 else g2
+            f3 = mjm.geom_friction[src]
+            sr, si = mjm.geom_solref[src], mjm.geom_solimp[src]
+            cd = int(mjm.geom_condim[src])
+        else:
+            f3 = np.maximum(mjm.geom_friction[g1], mjm.geom_friction[g2])
+            tot = mjm.geom_solmix[g1] + mjm.geom_solmix[g2]
+            mix = mjm.geom_solmix[g1] / tot if tot > 1e-12 else 0.5
+            if mjm.geom_solref[g1][0] <= 0 or mjm.geom_solref[g2][0] <= 0:
+                sr = np.minimum(mjm.geom_solref[g1], mjm.geom_solref[g2])
+            else:
+                sr = mix * mjm.geom_solref[g1] + (1 - mix) * mjm.geom_solref[g2]
+            si = mix * mjm.geom_solimp[g1] + (1 - mix) * mjm.geom_solimp[g2]
+            cd = max(int(mjm.geom_condim[g1]), int(mjm.geom_condim[g2]))
+        f5 = np.array([f3[0], f3[0], f3[1], f3[2], f3[2]])
+        mg = max(mjm.geom_margin[g1], mjm.geom_margin[g2]) - max(
+            mjm.geom_gap[g1], mjm.geom_gap[g2]
+        )  # includemargin
+        for _ in range(k):
+            fric.append(f5)
+            solref.append(sr)
+            solimp.append(si)
+            margin.append(mg)
+            condim.append(cd)
+    n = len(condim)
+    return dict(
+        friction=np.array(fric).reshape(n, 5),
+        solref=np.array(solref).reshape(n, 2),
+        solimp=np.array(solimp).reshape(n, 5),
+        includemargin=np.array(margin).reshape(n),
+        condim=tuple(condim),
+    )

@@ -1,0 +1,386 @@
+"""Soft-constraint assembly and solver (the TPU replacement for MuJoCo's
+mj_makeConstraint + mj_solPGS/Newton reached via mj_step in the reference,
+gymnasium_robotics/envs/robot_env.py:340-341).
+
+Design: constraint rows have a FIXED layout per model (static at trace time):
+equality rows, joint-limit rows, tendon-limit rows (these implement the Shadow
+Hand joint couplings, reference envs/shadow_dexterous_hand/hand_env.py:47-57),
+and pyramidal contact rows for every contact slot. Rows that are not currently
+violated are masked (impedance weight D = 0), keeping shapes static under jit.
+
+Solver: Newton iterations on MuJoCo's convex primal formulation
+    C(a) = 0.5 (a - a_smooth)^T M (a - a_smooth) + 0.5 sum_i D_i x_i^2 [active]
+with x = J a - aref, active_i = equality or x_i < 0, Hessian M + J^T D J,
+and a safeguarded exact line search on the piecewise-quadratic 1D restriction.
+Everything is dense (nv x nv / nefc x nv) — batched small GEMMs that map onto
+the MXU under vmap.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gymnasium_robotics_tpu.physics import collision as col
+from gymnasium_robotics_tpu.physics import math as gm
+from gymnasium_robotics_tpu.physics import types as T
+
+
+# ---------------------------------------------------------------------------
+# Static row layout helpers
+# ---------------------------------------------------------------------------
+
+def _body_dof_masks(mt: T.Meta) -> np.ndarray:
+    """mask[b, i] = 1 if dof i belongs to body b or an ancestor of b."""
+    mask = np.zeros((mt.nbody, mt.nv), dtype=np.float32)
+    for b in range(mt.nbody):
+        bb = b
+        while bb > 0:
+            adr, num = mt.body_dofadr[bb], mt.body_dofnum[bb]
+            mask[b, adr:adr + num] = 1.0
+            bb = mt.body_parentid[bb]
+    return mask
+
+
+def contact_rows_per_slot(condim: int) -> int:
+    return 1 if condim == 1 else 2 * (condim - 1)
+
+
+def nefc(m: T.Model) -> int:
+    mt = m.meta
+    n = 0
+    for e in range(mt.neq):
+        n += {T.EQ_CONNECT: 3, T.EQ_WELD: 6, T.EQ_JOINT: 1, T.EQ_TENDON: 1}[
+            mt.eq_type[e]
+        ]
+    n += sum(1 for j in range(mt.njnt) if mt.jnt_limited[j])
+    n += 2 * sum(1 for t in range(mt.ntendon) if mt.tendon_limited[t])
+    n += sum(contact_rows_per_slot(c) for c in mt.con_condim)
+    return n
+
+
+# ---------------------------------------------------------------------------
+# Impedance / reference acceleration (MuJoCo soft constraint model)
+# ---------------------------------------------------------------------------
+
+def _impedance(solimp, pos):
+    """solimp = (dmin, dmax, width, midpoint, power); pos = violation."""
+    dmin, dmax, width, mid, power = (
+        solimp[..., 0], solimp[..., 1], solimp[..., 2], solimp[..., 3], solimp[..., 4],
+    )
+    dmin = jnp.clip(dmin, 0.0001, 0.9999)
+    dmax = jnp.clip(dmax, 0.0001, 0.9999)
+    x = jnp.abs(pos) / jnp.maximum(width, 1e-10)
+    x = jnp.clip(x, 0.0, 1.0)
+    power = jnp.maximum(power, 1.0)
+    # polynomial spline through (0,0),(mid,mid),(1,1) with matching derivative
+    y1 = (mid ** (1.0 - power)) * (x ** power)
+    y2 = 1.0 - ((1.0 - mid) ** (1.0 - power)) * ((1.0 - x) ** power)
+    y = jnp.where(x < mid, y1, y2)
+    return dmin + (dmax - dmin) * y
+
+
+def _kbi(solref, solimp, pos, dt):
+    """Returns (d, b, k): impedance, damping, stiffness per row."""
+    d = _impedance(solimp, pos)
+    dmax = jnp.clip(solimp[..., 1], 0.0001, 0.9999)
+    timeconst, dampratio = solref[..., 0], solref[..., 1]
+    # MuJoCo enforces timeconst >= 2*dt
+    direct = timeconst <= 0
+    tc = jnp.maximum(timeconst, 2.0 * dt)
+    b = jnp.where(direct, -solref[..., 1], 2.0 / (dmax * tc))
+    k = jnp.where(
+        direct,
+        -solref[..., 0],
+        1.0 / (dmax * dmax * tc * tc * jnp.maximum(dampratio, 1e-8) ** 2),
+    )
+    # direct mode scales by d/(dmax)? MuJoCo: direct solref is d-scaled already
+    return d, b, k
+
+
+# ---------------------------------------------------------------------------
+# Row construction
+# ---------------------------------------------------------------------------
+
+def _jac(m, d, mask_b, point, body):
+    """Point jacobian (jacp, jacr) each (3, nv), for a world point on body."""
+    mt = m.meta
+    o = d.subtree_com[mt.body_rootid[body]]
+    offset = point - o
+    jacp = d.cdof[:, 3:] + jnp.cross(d.cdof[:, :3], offset[None, :])
+    jacp = jacp * mask_b[:, None]
+    jacr = d.cdof[:, :3] * mask_b[:, None]
+    return jacp.T, jacr.T  # (3, nv)
+
+
+def build_rows(m: T.Model, d: T.Data):
+    """Assemble J, pos, solref, solimp, invweight, active, is_equality arrays."""
+    mt = m.meta
+    dtype = d.qpos.dtype
+    masks = jnp.asarray(_body_dof_masks(mt), dtype)
+
+    J, pos, solref, solimp, invw, active, is_eq, fl = [], [], [], [], [], [], [], []
+
+    def add(Jr, p, sr, si, iw, act, eq):
+        J.append(Jr)
+        pos.append(p)
+        solref.append(sr)
+        solimp.append(si)
+        invw.append(iw)
+        active.append(act)
+        is_eq.append(eq)
+
+    # --- equality constraints
+    for e in range(mt.neq):
+        et = mt.eq_type[e]
+        sr, si = m.eq_solref[e], m.eq_solimp[e]
+        act = d.eq_active[e]
+        if et == T.EQ_CONNECT:
+            b1, b2 = mt.eq_obj1id[e], mt.eq_obj2id[e]
+            anchor1 = m.eq_data[e, 0:3]
+            anchor2 = m.eq_data[e, 3:6]
+            p1 = d.xpos[b1] + d.xmat[b1] @ anchor1
+            p2 = d.xpos[b2] + d.xmat[b2] @ anchor2
+            jp1, _ = _jac(m, d, masks[b1], p1, b1)
+            jp2, _ = _jac(m, d, masks[b2], p2, b2)
+            Jr = jp1 - jp2
+            err = p1 - p2
+            iw = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
+            for k in range(3):
+                add(Jr[k], err[k], sr, si, iw, act, True)
+        elif et == T.EQ_WELD:
+            b1, b2 = mt.eq_obj1id[e], mt.eq_obj2id[e]
+            anchor = m.eq_data[e, 0:3]      # in body2 frame
+            relpose_p = m.eq_data[e, 3:6]   # body1 pos target in body2 frame
+            relpose_q = m.eq_data[e, 6:10]
+            torquescale = m.eq_data[e, 10]
+            # position part: anchor point of body2 vs its image under body1
+            p2 = d.xpos[b2] + d.xmat[b2] @ anchor
+            p1 = d.xpos[b1] + d.xmat[b1] @ anchor
+            jp1, jr1 = _jac(m, d, masks[b1], p1, b1)
+            jp2, jr2 = _jac(m, d, masks[b2], p2, b2)
+            Jp = jp1 - jp2
+            err_p = p1 - p2
+            # orientation part: quat difference scaled by torquescale
+            q1 = d.xquat[b1]
+            q2 = gm.quat_mul(d.xquat[b2], relpose_q)
+            err_q = gm.quat_sub(q1, q2)  # local rotation vector wait: world?
+            # rotational jacobian difference in world frame
+            Jr = jr1 - jr2
+            iw_t = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
+            iw_r = m.body_invweight0[b1, 1] + m.body_invweight0[b2, 1]
+            for k in range(3):
+                add(Jp[k], err_p[k], sr, si, iw_t, act, True)
+            for k in range(3):
+                add(
+                    Jr[k] * torquescale,
+                    err_q[k] * torquescale,
+                    sr, si, iw_r, act, True,
+                )
+        elif et == T.EQ_JOINT:
+            j1, j2 = mt.eq_obj1id[e], mt.eq_obj2id[e]
+            data = m.eq_data[e]
+            q1 = d.qpos[mt.jnt_qposadr[j1]] - m.qpos0[mt.jnt_qposadr[j1]]
+            da1 = mt.jnt_dofadr[j1]
+            row = jnp.zeros(mt.nv, dtype).at[da1].set(1.0)
+            if j2 >= 0:
+                q2 = d.qpos[mt.jnt_qposadr[j2]] - m.qpos0[mt.jnt_qposadr[j2]]
+                poly = (
+                    data[0] + data[1] * q2 + data[2] * q2 ** 2
+                    + data[3] * q2 ** 3 + data[4] * q2 ** 4
+                )
+                dpoly = (
+                    data[1] + 2 * data[2] * q2 + 3 * data[3] * q2 ** 2
+                    + 4 * data[4] * q2 ** 3
+                )
+                row = row.at[mt.jnt_dofadr[j2]].set(-dpoly)
+                err = q1 - poly
+            else:
+                err = q1 - data[0]
+            iw = m.dof_invweight0[da1]
+            add(row, err, sr, si, iw, act, True)
+        elif et == T.EQ_TENDON:
+            t1 = mt.eq_obj1id[e]
+            err = d.ten_length[t1] - m.eq_data[e, 0]
+            add(d.ten_J[t1], err, sr, si, m.tendon_invweight0[t1], act, True)
+
+    # --- joint limits (one row, nearest side)
+    for j in range(mt.njnt):
+        if not mt.jnt_limited[j] or mt.opt.disable_limit:
+            continue
+        jt = mt.jnt_type[j]
+        qadr, dadr = mt.jnt_qposadr[j], mt.jnt_dofadr[j]
+        margin = m.jnt_margin[j]
+        if jt in (T.HINGE, T.SLIDE):
+            q = d.qpos[qadr]
+            dist_lo = q - m.jnt_range[j, 0]
+            dist_hi = m.jnt_range[j, 1] - q
+            lo_closer = dist_lo < dist_hi
+            dist = jnp.where(lo_closer, dist_lo, dist_hi)
+            sign = jnp.where(lo_closer, 1.0, -1.0)
+            row = jnp.zeros(mt.nv, dtype).at[dadr].set(1.0) * sign
+            act = dist < margin
+            add(
+                row, dist - margin, m.jnt_solref[j], m.jnt_solimp[j],
+                m.dof_invweight0[dadr], act, False,
+            )
+        # ball-joint limits unused by the target model families
+
+    # --- tendon limits (two rows: low, high)
+    for t in range(mt.ntendon):
+        if not mt.tendon_limited[t] or mt.opt.disable_limit:
+            continue
+        margin = m.tendon_margin[t]
+        length = d.ten_length[t]
+        sr, si = m.tendon_solref_lim[t], m.tendon_solimp_lim[t]
+        iw = m.tendon_invweight0[t]
+        dist_lo = length - m.tendon_range[t, 0]
+        add(d.ten_J[t], dist_lo - margin, sr, si, iw, dist_lo < margin, False)
+        dist_hi = m.tendon_range[t, 1] - length
+        add(-d.ten_J[t], dist_hi - margin, sr, si, iw, dist_hi < margin, False)
+
+    # --- contacts (pyramidal cone)
+    c = d.contact
+    gb = mt.geom_bodyid
+    slot_geoms = _slot_geoms(mt)
+    for ci, condim in enumerate(mt.con_condim):
+        g1, g2 = slot_geoms[ci]  # static per slot
+        b1, b2 = gb[g1], gb[g2]
+        pos_c = c.pos[ci]
+        frame = c.frame[ci]  # rows: n, t1, t2
+        jp1, jr1 = _jac(m, d, masks[b1], pos_c, b1)
+        jp2, jr2 = _jac(m, d, masks[b2], pos_c, b2)
+        Jp = jp2 - jp1  # relative velocity of g2 wrt g1
+        Jr = jr2 - jr1
+        Jn = frame[0] @ Jp
+        pen = c.dist[ci] - m.con_includemargin[ci]
+        act = pen < 0.0
+        sr, si = m.con_solref[ci], m.con_solimp[ci]
+        iw = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
+        mu = m.con_friction[ci]
+        if condim == 1:
+            add(Jn, pen, sr, si, iw, act, False)
+        else:
+            # friction axis jacobians: t1, t2 translational; torsional/rolling rot
+            axes = [frame[1] @ Jp, frame[2] @ Jp]
+            if condim > 3:
+                axes.append(frame[0] @ Jr)
+            if condim > 4:
+                axes += [frame[1] @ Jr, frame[2] @ Jr]
+            for i in range(condim - 1):
+                Jf = axes[i]
+                mui = mu[i]
+                # pyramidal-facet invweight (calibrated against MuJoCo efc_R)
+                iwp = 2.0 * mui * mui * (1.0 + mui * mui) * iw
+                for s in (1.0, -1.0):
+                    add(Jn * mui + s * Jf, pen, sr, si, iwp, act, False)
+
+    if not J:
+        z = jnp.zeros((0,), dtype)
+        return (
+            jnp.zeros((0, mt.nv), dtype), z, z, z,
+            jnp.zeros(0, bool), jnp.zeros(0, bool),
+        )
+
+    J = jnp.stack(J)
+    pos = jnp.stack(pos)
+    solref = jnp.stack(solref)
+    solimp = jnp.stack(solimp)
+    invw = jnp.stack(invw)
+    active = jnp.stack(active)
+    is_eq = jnp.asarray(is_eq, bool)
+
+    dt = mt.opt.timestep
+    imp, b, k = _kbi(solref, solimp, pos, dt)
+    vel = J @ d.qvel
+    aref = -b * vel - k * imp * pos
+    R = jnp.maximum((1.0 - imp) / jnp.maximum(imp, 1e-8) * invw, 1e-10)
+    D = jnp.where(active, 1.0 / R, 0.0)
+    return J, aref, D, R, active, is_eq
+
+
+def _slot_geoms(mt: T.Meta):
+    out = []
+    for g1, g2 in mt.pairs:
+        k = col.pair_slots(mt.geom_type[g1], mt.geom_type[g2])
+        out += [(g1, g2)] * k
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Solver
+# ---------------------------------------------------------------------------
+
+def solve_constraints(m: T.Model, d: T.Data) -> T.Data:
+    mt = m.meta
+    dtype = d.qpos.dtype
+    if mt.nv == 0:
+        return d
+    J, aref, D, R, active, is_eq = build_rows(m, d)
+    n_rows = J.shape[0]
+    if n_rows == 0:
+        return dataclasses.replace(
+            d,
+            qacc=d.qacc_smooth,
+            qfrc_constraint=jnp.zeros(mt.nv, dtype),
+        )
+
+    M = d.qM
+    L = jax.scipy.linalg.cho_factor(M)
+    a_smooth = d.qacc_smooth
+
+    def x_of(a):
+        return J @ a - aref
+
+    def active_set(x):
+        return is_eq | (x < 0.0)
+
+    def grad_hess_dir(a):
+        x = x_of(a)
+        aset = active_set(x) & active
+        Dw = jnp.where(aset, D, 0.0)
+        grad = M @ (a - a_smooth) + J.T @ (Dw * x)
+        H = M + (J.T * Dw) @ J
+        Lh = jax.scipy.linalg.cho_factor(H)
+        p = -jax.scipy.linalg.cho_solve(Lh, grad)
+        return p, grad
+
+    def linesearch(a, p):
+        # phi(alpha) piecewise quadratic; Newton on phi' with active set updates
+        Jp = J @ p
+        x0 = x_of(a)
+        pMp = p @ (M @ p)
+        pMa = p @ (M @ (a - a_smooth))
+
+        def body(_, alpha):
+            x = x0 + alpha * Jp
+            aset = active_set(x) & active
+            Dw = jnp.where(aset, D, 0.0)
+            dphi = alpha * pMp + pMa + jnp.sum(Dw * x * Jp)
+            ddphi = pMp + jnp.sum(Dw * Jp * Jp)
+            return alpha - dphi / jnp.maximum(ddphi, 1e-12)
+
+        alpha = jax.lax.fori_loop(0, 8, body, jnp.ones((), dtype))
+        return jnp.clip(alpha, 0.0, 4.0)
+
+    def iteration(_, a):
+        p, grad = grad_hess_dir(a)
+        alpha = linesearch(a, p)
+        return a + alpha * p
+
+    n_iter = min(mt.opt.iterations, 12)
+    a = jax.lax.fori_loop(0, n_iter, iteration, a_smooth)
+
+    x = x_of(a)
+    aset = active_set(x) & active
+    f = jnp.where(aset, -D * x, 0.0)
+    # unilateral rows cannot pull
+    f = jnp.where(~is_eq, jnp.maximum(f, 0.0), f)
+    qfrc_constraint = J.T @ f
+    qacc = a_smooth + jax.scipy.linalg.cho_solve(L, qfrc_constraint)
+    return dataclasses.replace(
+        d, qacc=qacc, qfrc_constraint=qfrc_constraint
+    )

@@ -1,0 +1,225 @@
+"""Forward-dynamics pipeline: the fused TPU-native analogue of mj_forward/mj_step.
+
+The reference crosses Python->C once per substep (gymnasium_robotics/envs/
+robot_env.py:340-341: ``mj_step(nstep=n_substeps)``). Here the whole pipeline —
+kinematics, dynamics, collision, constraint solve, integration, n_substeps loop —
+is one jittable pure function of (Model, Data, ctrl), vmappable over env batches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from gymnasium_robotics_tpu.physics import collision as col
+from gymnasium_robotics_tpu.physics import constraint as cst
+from gymnasium_robotics_tpu.physics import math as gm
+from gymnasium_robotics_tpu.physics import smooth
+from gymnasium_robotics_tpu.physics import types as T
+
+
+def make_data(m: T.Model, dtype=jnp.float32) -> T.Data:
+    """Fresh Data at qpos0 (the analogue of mujoco.MjData(model) + mj_resetData)."""
+    mt = m.meta
+    z = lambda *s: jnp.zeros(s, dtype)
+    ncon = col.ncon(m)
+    contact = T.Contact(
+        dist=jnp.full((ncon,), 1e10, dtype),
+        pos=z(ncon, 3),
+        frame=jnp.tile(jnp.eye(3, dtype=dtype), (ncon, 1, 1)),
+        geom1=jnp.zeros(ncon, jnp.int32),
+        geom2=jnp.zeros(ncon, jnp.int32),
+    )
+    # mocap bodies initialize at their model (fixed-body) pose
+    mocap_pos = z(mt.nmocap, 3)
+    mocap_quat = jnp.tile(jnp.array([1.0, 0, 0, 0], dtype), (mt.nmocap, 1))
+    if mt.nmocap:
+        import numpy as np
+
+        mp, mq = [], []
+        for b in range(mt.nbody):
+            if mt.body_mocapid[b] >= 0:
+                mp.append((mt.body_mocapid[b], b))
+        for mid, b in sorted(mp):
+            mocap_pos = mocap_pos.at[mid].set(m.body_pos[b])
+            mocap_quat = mocap_quat.at[mid].set(m.body_quat[b])
+
+    return T.Data(
+        time=jnp.zeros((), dtype),
+        qpos=m.qpos0.astype(dtype),
+        qvel=z(mt.nv),
+        act=z(mt.na),
+        ctrl=z(mt.nu),
+        qfrc_applied=z(mt.nv),
+        mocap_pos=mocap_pos,
+        mocap_quat=mocap_quat,
+        eq_active=jnp.asarray(mt.eq_active0, bool) if mt.neq else jnp.zeros(0, bool),
+        xpos=z(mt.nbody, 3), xquat=z(mt.nbody, 4), xmat=z(mt.nbody, 3, 3),
+        xipos=z(mt.nbody, 3), ximat=z(mt.nbody, 3, 3),
+        xanchor=z(mt.njnt, 3), xaxis=z(mt.njnt, 3),
+        geom_xpos=z(mt.ngeom, 3), geom_xmat=z(mt.ngeom, 3, 3),
+        site_xpos=z(mt.nsite, 3), site_xmat=z(mt.nsite, 3, 3),
+        subtree_com=z(mt.nbody, 3),
+        cinert=z(mt.nbody, 10), cdof=z(mt.nv, 6), cvel=z(mt.nbody, 6),
+        cdof_dot=z(mt.nv, 6),
+        ten_length=z(mt.ntendon), ten_velocity=z(mt.ntendon),
+        ten_J=z(mt.ntendon, mt.nv),
+        qM=z(mt.nv, mt.nv),
+        qfrc_bias=z(mt.nv), qfrc_passive=z(mt.nv), qfrc_actuator=z(mt.nv),
+        actuator_length=z(mt.nu), actuator_velocity=z(mt.nu),
+        actuator_force=z(mt.nu),
+        qfrc_smooth=z(mt.nv), qacc_smooth=z(mt.nv),
+        qfrc_constraint=z(mt.nv), qacc=z(mt.nv),
+        contact=contact,
+        sensordata=z(mt.nsensordata),
+    )
+
+
+def fwd_position(m: T.Model, d: T.Data) -> T.Data:
+    d = smooth.kinematics(m, d)
+    d = smooth.com_pos(m, d)
+    d = smooth.tendon(m, d)
+    d = smooth.crb(m, d)
+    d = col.collision(m, d)
+    return d
+
+
+def fwd_velocity(m: T.Model, d: T.Data) -> T.Data:
+    d = smooth.com_vel(m, d)
+    d = smooth.rne(m, d)
+    d = smooth.fwd_passive(m, d)
+    return d
+
+
+def forward(m: T.Model, d: T.Data) -> T.Data:
+    d = fwd_position(m, d)
+    d = fwd_velocity(m, d)
+    d = smooth.fwd_actuation(m, d)
+    qfrc_smooth = (
+        d.qfrc_passive - d.qfrc_bias + d.qfrc_actuator + d.qfrc_applied
+    )
+    d = dataclasses.replace(d, qfrc_smooth=qfrc_smooth)
+    qacc_smooth = jax.scipy.linalg.solve(
+        d.qM, qfrc_smooth, assume_a="pos"
+    ) if m.meta.nv else jnp.zeros(0, d.qpos.dtype)
+    d = dataclasses.replace(d, qacc_smooth=qacc_smooth)
+    d = cst.solve_constraints(m, d)
+    from gymnasium_robotics_tpu.physics import sensor
+
+    d = sensor.sensors(m, d)
+    return d
+
+
+def _integrate_qpos(m: T.Model, qpos, qvel, dt):
+    mt = m.meta
+    out = qpos
+    for j in range(mt.njnt):
+        jt = mt.jnt_type[j]
+        qadr, dadr = mt.jnt_qposadr[j], mt.jnt_dofadr[j]
+        if jt == T.FREE:
+            out = out.at[qadr:qadr + 3].set(
+                qpos[qadr:qadr + 3] + dt * qvel[dadr:dadr + 3]
+            )
+            q = qpos[qadr + 3:qadr + 7]
+            w = qvel[dadr + 3:dadr + 6]
+            out = out.at[qadr + 3:qadr + 7].set(gm.quat_integrate(q, w, dt))
+        elif jt == T.BALL:
+            q = qpos[qadr:qadr + 4]
+            w = qvel[dadr:dadr + 3]
+            out = out.at[qadr:qadr + 4].set(gm.quat_integrate(q, w, dt))
+        else:
+            out = out.at[qadr].set(qpos[qadr] + dt * qvel[dadr])
+    return out
+
+
+def _euler(m: T.Model, d: T.Data) -> T.Data:
+    """Semi-implicit Euler with implicit joint damping (mirrors mj_Euler)."""
+    mt = m.meta
+    h = mt.opt.timestep
+    if mt.na:
+        act = d.act + h * smooth.act_dot(m, d)
+        act = _clamp_act(m, act)
+    else:
+        act = d.act
+    # implicit damping: (M + h*diag(B)) v' = M v + h * (qfrc_smooth + qfrc_constraint + B v)
+    has_damping = m.meta.has_damping
+    qfrc = d.qfrc_smooth + d.qfrc_constraint
+    if has_damping:
+        MhB = d.qM + h * jnp.diag(m.dof_damping)
+        rhs = d.qM @ d.qvel + h * (qfrc + m.dof_damping * d.qvel)
+        qvel = jax.scipy.linalg.solve(MhB, rhs, assume_a="pos")
+    else:
+        qvel = d.qvel + h * d.qacc
+    qpos = _integrate_qpos(m, d.qpos, qvel, h)
+    return dataclasses.replace(
+        d, qpos=qpos, qvel=qvel, act=act, time=d.time + h
+    )
+
+
+def _clamp_act(m: T.Model, act):
+    mt = m.meta
+    if not mt.na:
+        return act
+    out = act
+    for u in range(mt.nu):
+        if mt.actuator_dyntype[u] == smooth.DYN_NONE:
+            continue
+        aadr = mt.actuator_actadr[u]
+        out = out.at[aadr].set(
+            jnp.clip(act[aadr], m.actuator_actrange[u, 0], m.actuator_actrange[u, 1])
+        )
+    return out
+
+
+def _rk4(m: T.Model, d: T.Data) -> T.Data:
+    """4th-order Runge-Kutta (mirrors mj_RungeKutta with RK4 tableau)."""
+    h = m.meta.opt.timestep
+    A = [0.5, 0.5, 1.0]
+    Bc = [1.0 / 6, 1.0 / 3, 1.0 / 3, 1.0 / 6]
+
+    def deriv(dd):
+        return dd.qvel, dd.qacc, smooth.act_dot(m, dd)
+
+    qpos0, qvel0, act0 = d.qpos, d.qvel, d.act
+    kq, kv, ka = [d.qvel], [d.qacc], [smooth.act_dot(m, d)]
+    dd = d
+    for i in range(3):
+        qpos = _integrate_qpos(m, qpos0, kq[i], A[i] * h)
+        qvel = qvel0 + A[i] * h * kv[i]
+        act = act0 + A[i] * h * ka[i]
+        dd = dataclasses.replace(dd, qpos=qpos, qvel=qvel, act=act)
+        dd = forward(m, dd)
+        kq.append(dd.qvel)
+        kv.append(dd.qacc)
+        ka.append(smooth.act_dot(m, dd))
+
+    vavg = sum(b * k for b, k in zip(Bc, kq))
+    aavg = sum(b * k for b, k in zip(Bc, kv))
+    actavg = sum(b * k for b, k in zip(Bc, ka))
+    qpos = _integrate_qpos(m, qpos0, vavg, h)
+    qvel = qvel0 + h * aavg
+    act = _clamp_act(m, act0 + h * actavg)
+    return dataclasses.replace(
+        d, qpos=qpos, qvel=qvel, act=act, time=d.time + h
+    )
+
+
+def step(m: T.Model, d: T.Data) -> T.Data:
+    """One physics step: forward dynamics + integration."""
+    d = forward(m, d)
+    if m.meta.opt.integrator == T.RK4:
+        return _rk4(m, d)
+    return _euler(m, d)
+
+
+def step_n(m: T.Model, d: T.Data, ctrl, n: int) -> T.Data:
+    """n_substeps stepping with fixed ctrl (the reference's mj_step(nstep=n))."""
+    d = dataclasses.replace(d, ctrl=ctrl)
+
+    def body(dd, _):
+        return step(m, dd), ()
+
+    d, _ = jax.lax.scan(body, d, None, length=n)
+    return d
