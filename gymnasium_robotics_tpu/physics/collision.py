@@ -86,7 +86,11 @@ def _plane_capsule(p1, R1, s1, p2, R2, s2):
     ends = jnp.stack([p2 + axis * s2[1], p2 - axis * s2[1]])
     dist = ends @ n - jnp.dot(p1, n) - s2[0]
     pos = ends - n * (s2[0] + 0.5 * dist)[:, None]
-    return dist, pos, jnp.tile(n, (2, 1))
+    # mjc convention: tan1 = capsule +z axis projected onto the plane
+    proj = axis - n * jnp.dot(n, axis)
+    t1n, nrm = gm.normalize(proj)
+    frame_t1 = jnp.where(nrm > 1e-8, t1n, jnp.full_like(t1n, jnp.nan))
+    return dist, pos, jnp.tile(n, (2, 1)), jnp.tile(frame_t1, (2, 1))
 
 
 def _box_corners(p, R, s):
@@ -120,7 +124,10 @@ def _plane_cylinder(p1, R1, s1, p2, R2, s2):
     ends = jnp.stack([p2 + axis * s2[1] + rad, p2 - axis * s2[1] + rad])
     dist = ends @ n - jnp.dot(p1, n)
     pos = ends - 0.5 * dist[:, None] * n
-    return dist, pos, jnp.tile(n, (2, 1))
+    proj = axis - n * jnp.dot(n, axis)
+    t1n, nrm = gm.normalize(proj)
+    ft1 = jnp.where(nrm > 1e-8, t1n, jnp.full_like(t1n, jnp.nan))
+    return dist, pos, jnp.tile(n, (2, 1)), jnp.tile(ft1, (2, 1))
 
 
 def _sphere_sphere(p1, R1, s1, p2, R2, s2):
@@ -268,15 +275,22 @@ def _dispatch(t1, t2):
     return table.get((t1, t2))
 
 
-def _contact_frame(n):
-    """Build an orthonormal frame (normal, tan1, tan2) rows from normal."""
-    a = jnp.where(
-        jnp.abs(n[..., 0:1]) < 0.5,
-        jnp.array([1.0, 0, 0], n.dtype),
-        jnp.array([0.0, 1, 0], n.dtype),
-    )
-    t1 = jnp.cross(n, a)
-    t1, _ = gm.normalize(t1)
+def _contact_frame(n, t1=None):
+    """Orthonormal frame rows (normal, tan1, tan2), matching mju_makeFrame:
+    tan1 = normalize(y_hat - (n.y_hat) n) with z_hat fallback near |n_y|=1;
+    tan2 = n x tan1. Narrowphase may pass an explicit tan1 (capsule-plane
+    aligns tan1 with the negated projected capsule axis, per mjc probes)."""
+    yhat = jnp.array([0.0, 1.0, 0.0], n.dtype)
+    zhat = jnp.array([0.0, 0.0, 1.0], n.dtype)
+    cand_y = yhat - n * n[..., 1:2]
+    cand_z = zhat - n * n[..., 2:3]
+    use_y = (jnp.abs(n[..., 1:2]) < 0.99)
+    generic, _ = gm.normalize(jnp.where(use_y, cand_y, cand_z))
+    if t1 is None:
+        t1 = generic
+    else:
+        ok = jnp.all(jnp.isfinite(t1), axis=-1, keepdims=True)
+        t1 = jnp.where(ok, jnp.nan_to_num(t1), generic)
     t2 = jnp.cross(n, t1)
     return jnp.stack([n, t1, t2], axis=-2)
 
@@ -295,31 +309,39 @@ def collision(m: T.Model, d: T.Data) -> T.Data:
         )
         return dataclasses.replace(d, contact=contact)
 
-    dists, poss, normals, g1s, g2s = [], [], [], [], []
+    dists, poss, normals, tangents, g1s, g2s = [], [], [], [], [], []
     for g1, g2 in mt.pairs:
         t1, t2 = mt.geom_type[g1], mt.geom_type[g2]
         fn = _dispatch(t1, t2)
         k = pair_slots(t1, t2)
         if fn is None:
             dd, pp, nn = _far(k, dtype)
+            tt = jnp.full((k, 3), jnp.nan, dtype)
         else:
-            dd, pp, nn = fn(
+            res = fn(
                 d.geom_xpos[g1], d.geom_xmat[g1], m.geom_size[g1],
                 d.geom_xpos[g2], d.geom_xmat[g2], m.geom_size[g2],
             )
+            if len(res) == 4:
+                dd, pp, nn, tt = res
+            else:
+                dd, pp, nn = res
+                tt = jnp.full((k, 3), jnp.nan, dtype)
         dists.append(dd)
         poss.append(pp)
         normals.append(nn)
+        tangents.append(tt)
         g1s += [g1] * k
         g2s += [g2] * k
 
     dist = jnp.concatenate(dists)
     pos = jnp.concatenate(poss)
     normal = jnp.concatenate(normals)
+    tan1 = jnp.concatenate(tangents)
     contact = T.Contact(
         dist=dist,
         pos=pos,
-        frame=_contact_frame(normal),
+        frame=_contact_frame(normal, tan1),
         geom1=jnp.asarray(g1s, jnp.int32),
         geom2=jnp.asarray(g2s, jnp.int32),
     )
@@ -353,9 +375,11 @@ def slot_params(mjm, pairs, geom_type=None) -> dict:
             si = mix * mjm.geom_solimp[g1] + (1 - mix) * mjm.geom_solimp[g2]
             cd = max(int(mjm.geom_condim[g1]), int(mjm.geom_condim[g2]))
         f5 = np.array([f3[0], f3[0], f3[1], f3[2], f3[2]])
-        mg = max(mjm.geom_margin[g1], mjm.geom_margin[g2]) - max(
-            mjm.geom_gap[g1], mjm.geom_gap[g2]
-        )  # includemargin
+        # includemargin = (margin1 + margin2) - (gap1 + gap2): additive mixing,
+        # calibrated against mjContact.includemargin (hopper: 0.001+0.001)
+        mg = (mjm.geom_margin[g1] + mjm.geom_margin[g2]) - (
+            mjm.geom_gap[g1] + mjm.geom_gap[g2]
+        )
         for _ in range(k):
             fric.append(f5)
             solref.append(sr)

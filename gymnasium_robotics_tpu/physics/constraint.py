@@ -152,34 +152,41 @@ def build_rows(m: T.Model, d: T.Data):
             for k in range(3):
                 add(Jr[k], err[k], sr, si, iw, act, True)
         elif et == T.EQ_WELD:
+            # residuals calibrated against mjData.efc_pos/efc_J:
+            #   position: (x1 + R1 a1) - (x2 + R2 a2),  a1 = data[0:3], a2 = data[3:6]
+            #   rotation: torquescale * vec(conj(q2 relq) q1), Jacobian through
+            #   d/dt vec(qerr) = 0.5 vec(conj(q2t) (0, w1-w2) q1)
             b1, b2 = mt.eq_obj1id[e], mt.eq_obj2id[e]
-            anchor = m.eq_data[e, 0:3]      # in body2 frame
-            relpose_p = m.eq_data[e, 3:6]   # body1 pos target in body2 frame
+            anchor1 = m.eq_data[e, 0:3]
+            anchor2 = m.eq_data[e, 3:6]
             relpose_q = m.eq_data[e, 6:10]
             torquescale = m.eq_data[e, 10]
-            # position part: anchor point of body2 vs its image under body1
-            p2 = d.xpos[b2] + d.xmat[b2] @ anchor
-            p1 = d.xpos[b1] + d.xmat[b1] @ anchor
+            p1 = d.xpos[b1] + d.xmat[b1] @ anchor1
+            p2 = d.xpos[b2] + d.xmat[b2] @ anchor2
             jp1, jr1 = _jac(m, d, masks[b1], p1, b1)
             jp2, jr2 = _jac(m, d, masks[b2], p2, b2)
             Jp = jp1 - jp2
             err_p = p1 - p2
-            # orientation part: quat difference scaled by torquescale
             q1 = d.xquat[b1]
-            q2 = gm.quat_mul(d.xquat[b2], relpose_q)
-            err_q = gm.quat_sub(q1, q2)  # local rotation vector wait: world?
-            # rotational jacobian difference in world frame
-            Jr = jr1 - jr2
+            q2t = gm.quat_mul(d.xquat[b2], relpose_q)
+            qerr = gm.quat_mul(gm.quat_conj(q2t), q1)
+            err_q = qerr[1:4] * torquescale
+            eye3 = jnp.eye(3, dtype=dtype)
+            zero1 = jnp.zeros(1, dtype)
+
+            def _Av(v):
+                return gm.quat_mul(
+                    gm.quat_mul(gm.quat_conj(q2t), jnp.concatenate([zero1, v])), q1
+                )[1:4]
+
+            A = jnp.stack([_Av(eye3[k]) for k in range(3)], axis=1)
+            Jr = 0.5 * torquescale * (A @ (jr1 - jr2))
             iw_t = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
             iw_r = m.body_invweight0[b1, 1] + m.body_invweight0[b2, 1]
             for k in range(3):
                 add(Jp[k], err_p[k], sr, si, iw_t, act, True)
             for k in range(3):
-                add(
-                    Jr[k] * torquescale,
-                    err_q[k] * torquescale,
-                    sr, si, iw_r, act, True,
-                )
+                add(Jr[k], err_q[k], sr, si, iw_r, act, True)
         elif et == T.EQ_JOINT:
             j1, j2 = mt.eq_obj1id[e], mt.eq_obj2id[e]
             data = m.eq_data[e]
@@ -242,56 +249,126 @@ def build_rows(m: T.Model, d: T.Data):
         dist_hi = m.tendon_range[t, 1] - length
         add(-d.ten_J[t], dist_hi - margin, sr, si, iw, dist_hi < margin, False)
 
-    # --- contacts (pyramidal cone)
+    # --- contacts (pyramidal cone), fully vectorized over slots
     c = d.contact
-    gb = mt.geom_bodyid
-    slot_geoms = _slot_geoms(mt)
-    for ci, condim in enumerate(mt.con_condim):
-        g1, g2 = slot_geoms[ci]  # static per slot
-        b1, b2 = gb[g1], gb[g2]
-        pos_c = c.pos[ci]
-        frame = c.frame[ci]  # rows: n, t1, t2
-        jp1, jr1 = _jac(m, d, masks[b1], pos_c, b1)
-        jp2, jr2 = _jac(m, d, masks[b2], pos_c, b2)
-        Jp = jp2 - jp1  # relative velocity of g2 wrt g1
-        Jr = jr2 - jr1
-        Jn = frame[0] @ Jp
-        pen = c.dist[ci] - m.con_includemargin[ci]
-        act = pen < 0.0
-        sr, si = m.con_solref[ci], m.con_solimp[ci]
-        iw = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
-        mu = m.con_friction[ci]
-        if condim == 1:
-            add(Jn, pen, sr, si, iw, act, False)
-        else:
-            # friction axis jacobians: t1, t2 translational; torsional/rolling rot
-            axes = [frame[1] @ Jp, frame[2] @ Jp]
-            if condim > 3:
-                axes.append(frame[0] @ Jr)
-            if condim > 4:
-                axes += [frame[1] @ Jr, frame[2] @ Jr]
-            for i in range(condim - 1):
-                Jf = axes[i]
-                mui = mu[i]
-                # pyramidal-facet invweight (calibrated against MuJoCo efc_R)
-                iwp = 2.0 * mui * mui * (1.0 + mui * mui) * iw
-                for s in (1.0, -1.0):
-                    add(Jn * mui + s * Jf, pen, sr, si, iwp, act, False)
+    ncon = len(mt.con_condim)
+    if ncon:
+        gb = mt.geom_bodyid
+        slot_geoms = _slot_geoms(mt)
+        b1s = np.array([gb[g1] for g1, _ in slot_geoms])
+        b2s = np.array([gb[g2] for _, g2 in slot_geoms])
+        roots = np.array(mt.body_rootid)
+        o = d.subtree_com[jnp.asarray(roots[b1s])]  # same tree... use per-body root
+        # point jacobians for all slots: (ncon, nv, 3)
+        def _jacs(bodies):
+            oo = d.subtree_com[jnp.asarray(roots[bodies])]
+            off = c.pos - oo
+            jacp = d.cdof[None, :, 3:] + jnp.cross(
+                d.cdof[None, :, :3], off[:, None, :]
+            )
+            mk = masks[jnp.asarray(bodies)][:, :, None]
+            return jacp * mk, d.cdof[None, :, :3] * mk
 
-    if not J:
+        jp1, jr1 = _jacs(b1s)
+        jp2, jr2 = _jacs(b2s)
+        Jp = jp2 - jp1  # (ncon, nv, 3) relative translational jacobian
+        Jr = jr2 - jr1
+        n_ax = c.frame[:, 0]
+        t1_ax = c.frame[:, 1]
+        t2_ax = c.frame[:, 2]
+        Jn = jnp.einsum("cvk,ck->cv", Jp, n_ax)
+        Jt1 = jnp.einsum("cvk,ck->cv", Jp, t1_ax)
+        Jt2 = jnp.einsum("cvk,ck->cv", Jp, t2_ax)
+        Jrn = jnp.einsum("cvk,ck->cv", Jr, n_ax)
+        Jrt1 = jnp.einsum("cvk,ck->cv", Jr, t1_ax)
+        Jrt2 = jnp.einsum("cvk,ck->cv", Jr, t2_ax)
+        pen = c.dist - m.con_includemargin
+        act_c = pen < 0.0
+        iw_c = (
+            m.body_invweight0[jnp.asarray(b1s), 0]
+            + m.body_invweight0[jnp.asarray(b2s), 0]
+        )
+        mu = m.con_friction
+        axes_all = [Jt1, Jt2, Jrn, Jrt1, Jrt2]
+
+        # group slots by condim; emit whole (k, nv) row blocks per facet
+        cond_arr = np.array(mt.con_condim)
+        blocks = {"J": [], "pos": [], "sr": [], "si": [], "iw": [], "act": []}
+
+        def add_block(Jb, pb, srb, sib, iwb, actb):
+            blocks["J"].append(Jb)
+            blocks["pos"].append(pb)
+            blocks["sr"].append(srb)
+            blocks["si"].append(sib)
+            blocks["iw"].append(iwb)
+            blocks["act"].append(actb)
+
+        for cd in sorted(set(mt.con_condim)):
+            idx = np.nonzero(cond_arr == cd)[0]
+            ji = jnp.asarray(idx)
+            if cd == 1:
+                add_block(
+                    Jn[ji], pen[ji], m.con_solref[ji], m.con_solimp[ji],
+                    iw_c[ji], act_c[ji],
+                )
+            else:
+                for i in range(cd - 1):
+                    mui = mu[ji, i]
+                    iwp = 2.0 * mui * mui * (1.0 + mui * mui) * iw_c[ji]
+                    for s in (1.0, -1.0):
+                        add_block(
+                            Jn[ji] + s * mui[:, None] * axes_all[i][ji],
+                            pen[ji], m.con_solref[ji], m.con_solimp[ji],
+                            iwp, act_c[ji],
+                        )
+
+        con_J = jnp.concatenate(blocks["J"])
+        con_pos = jnp.concatenate(blocks["pos"])
+        con_sr = jnp.concatenate(blocks["sr"])
+        con_si = jnp.concatenate(blocks["si"])
+        con_iw = jnp.concatenate(blocks["iw"])
+        con_act = jnp.concatenate(blocks["act"])
+    else:
+        con_J = jnp.zeros((0, mt.nv), dtype)
+        con_pos = con_sr = con_si = con_iw = None
+
+    if not J and not ncon:
         z = jnp.zeros((0,), dtype)
         return (
             jnp.zeros((0, mt.nv), dtype), z, z, z,
             jnp.zeros(0, bool), jnp.zeros(0, bool),
         )
 
-    J = jnp.stack(J)
-    pos = jnp.stack(pos)
-    solref = jnp.stack(solref)
-    solimp = jnp.stack(solimp)
-    invw = jnp.stack(invw)
-    active = jnp.stack(active)
-    is_eq = jnp.asarray(is_eq, bool)
+    if J:
+        J = jnp.stack(J)
+        pos = jnp.stack(pos)
+        solref = jnp.stack(solref)
+        solimp = jnp.stack(solimp)
+        invw = jnp.stack(invw)
+        active = jnp.stack(active)
+        is_eq_arr = jnp.asarray(is_eq, bool)
+    else:
+        J = jnp.zeros((0, mt.nv), dtype)
+        pos = jnp.zeros((0,), dtype)
+        solref = jnp.zeros((0, 2), dtype)
+        solimp = jnp.zeros((0, 5), dtype)
+        invw = jnp.zeros((0,), dtype)
+        active = jnp.zeros((0,), bool)
+        is_eq_arr = jnp.zeros((0,), bool)
+
+    if ncon:
+        n_loop = J.shape[0]
+        J = jnp.concatenate([J, con_J])
+        pos = jnp.concatenate([pos, con_pos])
+        solref = jnp.concatenate([solref, con_sr])
+        solimp = jnp.concatenate([solimp, con_si])
+        invw = jnp.concatenate([invw, con_iw])
+        active = jnp.concatenate([active, con_act])
+        is_eq = jnp.concatenate(
+            [is_eq_arr, jnp.zeros(con_J.shape[0], bool)]
+        )
+    else:
+        is_eq = is_eq_arr
 
     dt = mt.opt.timestep
     imp, b, k = _kbi(solref, solimp, pos, dt)
@@ -371,7 +448,7 @@ def solve_constraints(m: T.Model, d: T.Data) -> T.Data:
         alpha = linesearch(a, p)
         return a + alpha * p
 
-    n_iter = min(mt.opt.iterations, 12)
+    n_iter = min(mt.opt.iterations, 20)
     a = jax.lax.fori_loop(0, n_iter, iteration, a_smooth)
 
     x = x_of(a)

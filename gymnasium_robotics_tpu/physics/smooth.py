@@ -485,4 +485,78 @@ def fwd_passive(m: T.Model, d: T.Data) -> T.Data:
         frc = -m.tendon_stiffness * dsp - m.tendon_damping * d.ten_velocity
         qfrc = qfrc + d.ten_J.T @ frc
 
+    if mt.opt.density > 0 or mt.opt.viscosity > 0:
+        qfrc = qfrc + _inertia_box_fluid(m, d)
+
     return _replace(d, qfrc_passive=qfrc)
+
+
+def _inertia_box_fluid(m: T.Model, d: T.Data):
+    """Legacy inertia-box fluid model (mj_passive's density/viscosity drag),
+    needed by the Swimmer family (density=4000, viscosity=0.1 in its MJCF).
+    Calibrated against mjData.qfrc_passive."""
+    mt = m.meta
+    dtype = d.qpos.dtype
+    rho, beta = mt.opt.density, mt.opt.viscosity
+    qfrc = jnp.zeros(mt.nv, dtype)
+    from gymnasium_robotics_tpu.physics.constraint import _body_dof_masks
+
+    masks = jnp.asarray(_body_dof_masks(mt), dtype)
+    for b in range(1, mt.nbody):
+        mass = m.body_mass[b]
+        inert = m.body_inertia[b]
+        # equivalent box half-sizes from principal inertia
+        box = jnp.sqrt(
+            jnp.maximum(
+                1e-12,
+                jnp.stack(
+                    [
+                        inert[1] + inert[2] - inert[0],
+                        inert[0] + inert[2] - inert[1],
+                        inert[0] + inert[1] - inert[2],
+                    ]
+                )
+                / jnp.maximum(mass, 1e-12)
+                * 6.0,
+            )
+        ) / 2.0
+        # 6D velocity of body at its com, in the principal (ximat) frame
+        o = d.subtree_com[mt.body_rootid[b]]
+        w_world = d.cvel[b, :3]
+        v_world = d.cvel[b, 3:] + jnp.cross(w_world, d.xipos[b] - o)
+        Rm = d.ximat[b]
+        w = Rm.T @ w_world
+        v = Rm.T @ v_world
+        lfrc_t = jnp.zeros(3, dtype)
+        lfrc_f = jnp.zeros(3, dtype)
+        if beta > 0:
+            diam = jnp.mean(box) * 2.0
+            lfrc_f = lfrc_f - 3.0 * jnp.pi * diam * beta * v
+            lfrc_t = lfrc_t - jnp.pi * diam ** 3 * beta * w
+        if rho > 0:
+            b0, b1, b2 = box[0], box[1], box[2]
+            area = jnp.stack([b1 * b2, b0 * b2, b0 * b1]) * 4.0
+            lfrc_f = lfrc_f - 0.5 * rho * area * jnp.abs(v) * v
+            scl = jnp.stack(
+                [
+                    b0 * (b1 ** 4 + b2 ** 4),
+                    b1 * (b0 ** 4 + b2 ** 4),
+                    b2 * (b0 ** 4 + b1 ** 4),
+                ]
+            )
+            lfrc_t = lfrc_t - rho * scl * jnp.abs(w) * w / 64.0 * 32.0
+        # back to world, apply at xipos
+        f_world = Rm @ lfrc_f
+        t_world = Rm @ lfrc_t
+        jacp, jacr = _point_jac(m, d, masks[b], d.xipos[b], b)
+        qfrc = qfrc + jacp @ f_world + jacr @ t_world
+    return qfrc
+
+
+def _point_jac(m, d, mask, point, body):
+    mt = m.meta
+    o = d.subtree_com[mt.body_rootid[body]]
+    offset = point - o
+    jacp = (d.cdof[:, 3:] + jnp.cross(d.cdof[:, :3], offset[None, :])) * mask[:, None]
+    jacr = d.cdof[:, :3] * mask[:, None]
+    return jacp, jacr
