@@ -1,0 +1,117 @@
+"""Gymnasium-API adapter: wraps a functional env as a stateful single-instance
+``gymnasium.Env`` with numpy IO, so code written against the reference
+(gym.make -> reset/step, GoalEnv Dict obs contract, seeding via np_random)
+runs unchanged against this framework. Mirrors the observable behavior of
+gymnasium_robotics/envs/robot_env.py:114-186.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    import gymnasium as gym
+except ImportError:  # gymnasium is an install extra, not a hard runtime dep
+    gym = None
+
+from gymnasium_robotics_tpu import core
+
+
+def _to_np(x):
+    return jax.tree_util.tree_map(lambda a: np.asarray(a), x)
+
+
+class GymAdapter(gym.Env if gym else object):
+    metadata = {"render_modes": [], "render_fps": 25}
+
+    def __init__(self, env: core.FunctionalEnv, render_mode: Optional[str] = None):
+        self.env = env
+        self.observation_space = env.observation_space
+        self.action_space = env.action_space
+        self.metadata = dict(getattr(env, "metadata", {}) or self.metadata)
+        self.render_mode = render_mode
+        self._state: Optional[core.EnvState] = None
+        self._step = jax.jit(env.step)
+        self._initial = jax.jit(env.initial)
+        self._seed_counter = 0
+
+    def reset(self, *, seed: Optional[int] = None, options: Optional[dict] = None):
+        if gym is not None:
+            super().reset(seed=seed)
+        if seed is None:
+            self._seed_counter += 1
+            seed = int(np.random.SeedSequence().entropy % (2 ** 31)) \
+                if self.np_random is None else int(self.np_random.integers(2 ** 31))
+        self._options = options
+        if options:
+            env_reset = getattr(self.env, "initial_with_options", None)
+            if env_reset is not None:
+                self._state = jax.jit(env_reset, static_argnames=())(
+                    jax.random.key(seed), _freeze_options(options)
+                )
+            else:
+                self._state = self._initial(jax.random.key(seed))
+        else:
+            self._state = self._initial(jax.random.key(seed))
+        return _to_np(self._state.obs), _to_np(self._state.info)
+
+    def step(self, action):
+        self._state = self._step(self._state, jnp.asarray(action))
+        s = self._state
+        return (
+            _to_np(s.obs),
+            float(s.reward),
+            bool(s.terminated),
+            bool(s.truncated),
+            _to_np(s.info),
+        )
+
+    # GoalEnv contract (numpy in/out)
+    def compute_reward(self, achieved_goal, desired_goal, info=None):
+        return np.asarray(
+            self.env.compute_reward(
+                jnp.asarray(achieved_goal), jnp.asarray(desired_goal), info
+            )
+        )
+
+    def compute_terminated(self, achieved_goal, desired_goal, info=None):
+        return np.asarray(
+            self.env.compute_terminated(
+                jnp.asarray(achieved_goal), jnp.asarray(desired_goal), info
+            )
+        )
+
+    def compute_truncated(self, achieved_goal, desired_goal, info=None):
+        return np.asarray(
+            self.env.compute_truncated(
+                jnp.asarray(achieved_goal), jnp.asarray(desired_goal), info
+            )
+        )
+
+    def render(self):
+        return None
+
+    def close(self):
+        pass
+
+    @property
+    def unwrapped(self):
+        return self
+
+    # env-state checkpointing (analogue of Adroit get/set_env_state,
+    # reference adroit_door.py:373-392; here it is total for every family)
+    def get_env_state(self):
+        return jax.device_get(self._state)
+
+    def set_env_state(self, state):
+        self._state = jax.device_put(state)
+
+
+def _freeze_options(options: dict):
+    return {k: tuple(v) if isinstance(v, (list, np.ndarray)) else v
+            for k, v in options.items()}

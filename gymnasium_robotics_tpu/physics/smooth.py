@@ -133,7 +133,14 @@ def com_pos(m: T.Model, d: T.Data) -> T.Data:
             subtree_mom[p] = subtree_mom[p] + subtree_mom[b]
             subtree_mass[p] = subtree_mass[p] + subtree_mass[b]
     subtree_com = jnp.stack(
-        [subtree_mom[b] / jnp.maximum(subtree_mass[b], 1e-12) for b in range(mt.nbody)]
+        [
+            jnp.where(
+                subtree_mass[b] > 1e-10,
+                subtree_mom[b] / jnp.maximum(subtree_mass[b], 1e-12),
+                d.xipos[b],  # massless subtree: MuJoCo keeps the body frame com
+            )
+            for b in range(mt.nbody)
+        ]
     )
 
     # c-frame origin per body: subtree com of the body's kinematic root
