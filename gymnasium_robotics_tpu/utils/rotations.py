@@ -213,14 +213,14 @@ def get_parallel_rotations():
     mult90 = [0, np.pi / 2, -np.pi / 2, np.pi]
     parallel_rotations = []
     for euler in itertools.product(mult90, repeat=3):
-        canonical = np.array(euler)
-        for i in range(3):
-            while canonical[i] < -np.pi / 2:
-                canonical[i] += np.pi * 2
-            while canonical[i] > np.pi / 2:
-                canonical[i] -= np.pi * 2
-        canonical = canonical.round(4)
-        if canonical.tolist() not in [p.tolist() for p in parallel_rotations]:
+        canonical = np.asarray(mat2euler(euler2mat(np.array(euler))))
+        canonical = np.round(canonical / (np.pi / 2))
+        if canonical[0] == -2:
+            canonical[0] = 2
+        if canonical[2] == -2:
+            canonical[2] = 2
+        canonical = canonical * (np.pi / 2)
+        if all((canonical != r).any() for r in parallel_rotations):
             parallel_rotations.append(canonical)
     assert len(parallel_rotations) == 24
     return parallel_rotations

@@ -1,9 +1,13 @@
 import os
 
-# Sharding/physics tests run on a virtual 8-device CPU mesh; TPU benchmarking
-# happens in bench.py, not in the test suite.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
+# Tests run on a virtual 8-device CPU mesh (sharding validated without real
+# chips); TPU benchmarking lives in bench.py, not the test suite.
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)  # physics parity tests compare in f64

@@ -1,0 +1,108 @@
+"""Physics-core parity vs the MuJoCo C engine (distilled from tools/calibrate.py;
+mirrors the reference's determinism-rollout strategy, tests/test_envs.py:62-117,
+applied at the physics level: same state in both engines => same derivatives)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+mujoco = pytest.importorskip("mujoco")
+
+from gymnasium_robotics_tpu.mjcf.import_mjcf import import_model
+from gymnasium_robotics_tpu.physics import pipeline
+
+PENDULUM = """
+<mujoco>
+  <option timestep="0.01" gravity="0 0 -9.81"/>
+  <worldbody>
+    <body pos="0 0 1">
+      <joint type="hinge" axis="0 1 0" damping="0.1" limited="true" range="-1.2 1.2"/>
+      <geom type="capsule" fromto="0 0 0 0.5 0 0" size="0.05"/>
+      <body pos="0.5 0 0">
+        <joint type="hinge" axis="1 0 0" damping="0.05"/>
+        <geom type="capsule" fromto="0 0 0 0 0.4 0" size="0.04"/>
+      </body>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+BOX_DROP = """
+<mujoco><option timestep="0.002"/>
+ <worldbody>
+  <geom type="plane" size="5 5 0.1"/>
+  <body pos="0.02 0.01 0.4"><freejoint/><geom type="box" size="0.1 0.08 0.06"/></body>
+ </worldbody></mujoco>
+"""
+
+GYM_ASSETS = "/opt/venv/lib/python3.12/site-packages/gymnasium/envs/mujoco/assets"
+
+
+def _setup(xml_or_path, seed=0):
+    if xml_or_path.endswith(".xml"):
+        mjm = mujoco.MjModel.from_xml_path(xml_or_path)
+    else:
+        mjm = mujoco.MjModel.from_xml_string(xml_or_path)
+    mjd = mujoco.MjData(mjm)
+    rng = np.random.default_rng(seed)
+    qpos = mjm.qpos0 + rng.uniform(-0.05, 0.05, mjm.nq)
+    for j in range(mjm.njnt):
+        t, adr = mjm.jnt_type[j], mjm.jnt_qposadr[j]
+        if t == 0:
+            qpos[adr + 3:adr + 7] /= np.linalg.norm(qpos[adr + 3:adr + 7])
+        elif t == 1:
+            qpos[adr:adr + 4] /= np.linalg.norm(qpos[adr:adr + 4])
+    qvel = rng.uniform(-0.3, 0.3, mjm.nv)
+    ctrl = rng.uniform(-1, 1, mjm.nu) if mjm.nu else np.zeros(0)
+    mjd.qpos[:] = qpos
+    mjd.qvel[:] = qvel
+    if mjm.nu:
+        mjd.ctrl[:] = ctrl
+    m = import_model(mjm, dtype=np.float64)
+    d = pipeline.make_data(m, dtype=jnp.float64)
+    d = dataclasses.replace(
+        d, qpos=jnp.asarray(qpos), qvel=jnp.asarray(qvel),
+        ctrl=jnp.asarray(ctrl, jnp.float64),
+    )
+    return mjm, mjd, m, d
+
+
+@pytest.mark.parametrize(
+    "xml", [PENDULUM, BOX_DROP, f"{GYM_ASSETS}/ant.xml", f"{GYM_ASSETS}/half_cheetah.xml"],
+    ids=["pendulum", "box_drop", "ant", "half_cheetah"],
+)
+def test_forward_matches_mujoco(xml):
+    mjm, mjd, m, d = _setup(xml)
+    mujoco.mj_forward(mjm, mjd)
+    d = jax.jit(pipeline.forward)(m, d)
+    np.testing.assert_allclose(np.asarray(d.xpos), mjd.xpos, atol=1e-10)
+    qM = np.zeros((mjm.nv, mjm.nv))
+    mujoco.mj_fullM(mjm, mjd, qM)
+    np.testing.assert_allclose(np.asarray(d.qM), qM, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(d.qfrc_bias), mjd.qfrc_bias, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(d.qacc), mjd.qacc, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("xml", [PENDULUM, BOX_DROP], ids=["pendulum", "box_drop"])
+def test_trajectory_matches_mujoco(xml):
+    mjm, mjd, m, d = _setup(xml)
+    step = jax.jit(pipeline.step)
+    for _ in range(200):
+        mujoco.mj_step(mjm, mjd)
+        d = step(m, d)
+    np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(d.qvel), mjd.qvel, atol=1e-7)
+
+
+def test_batched_step_vmaps():
+    mjm, mjd, m, d = _setup(BOX_DROP)
+    B = 32
+    batch = jax.tree_util.tree_map(lambda x: jnp.tile(x, (B,) + (1,) * x.ndim), d)
+    stepped = jax.jit(jax.vmap(pipeline.step, in_axes=(None, 0)))(m, batch)
+    assert stepped.qpos.shape == (B, mjm.nq)
+    # all instances identical inputs -> identical outputs
+    assert np.allclose(np.asarray(stepped.qpos[0]), np.asarray(stepped.qpos[-1]))
