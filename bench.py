@@ -16,23 +16,15 @@ import jax
 import numpy as np
 
 
-def bench_env(env_id: str, num_envs: int, steps: int = 50, warmup: int = 3):
+def bench_env(env_id: str, num_envs: int, steps: int = 200, repeats: int = 3):
+    """Scan-based on-device rollout: one device program for the whole
+    collection loop, so host<->device latency is paid per rollout, not per
+    step (the reference pays one FFI crossing per mj_step)."""
     from gymnasium_robotics_tpu import registry
+    from gymnasium_robotics_tpu.parallel import rollout as R
 
-    env = registry.make(env_id, num_envs=num_envs)
-    env.reset(seed=0)
-    act_shape = (num_envs,) + env.action_space.shape
-    rng = np.random.default_rng(0)
-    actions = rng.uniform(-1, 1, act_shape).astype(np.float32)
-    for _ in range(warmup):
-        out = env.step(actions)
-    jax.block_until_ready(out[0])
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        out = env.step(actions)
-    jax.block_until_ready(out[0])
-    dt = time.perf_counter() - t0
-    return num_envs * steps / dt
+    env = registry.make(env_id)
+    return R.rollout_steps_per_sec(env, num_envs, steps, repeats=repeats)
 
 
 def main():

@@ -231,6 +231,7 @@ def import_model(m, dtype=np.float32) -> "T.Model":
         geom_rbound=arr(m.geom_rbound),
         site_pos=arr(m.site_pos),
         site_quat=arr(m.site_quat),
+        site_size_arr=arr(m.site_size),
         eq_data=arr(m.eq_data),
         eq_solref=arr(m.eq_solref),
         eq_solimp=arr(m.eq_solimp),

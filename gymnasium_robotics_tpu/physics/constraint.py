@@ -294,6 +294,7 @@ def build_rows(m: T.Model, d: T.Data):
         # group slots by condim; emit whole (k, nv) row blocks per facet
         cond_arr = np.array(mt.con_condim)
         blocks = {"J": [], "pos": [], "sr": [], "si": [], "iw": [], "act": []}
+        con_layout = []  # (condim, slot_idx array, facet-block row count)
 
         def add_block(Jb, pb, srb, sib, iwb, actb):
             blocks["J"].append(Jb)
@@ -305,6 +306,7 @@ def build_rows(m: T.Model, d: T.Data):
 
         for cd in sorted(set(mt.con_condim)):
             idx = np.nonzero(cond_arr == cd)[0]
+            con_layout.append((cd, idx))
             ji = jnp.asarray(idx)
             if cd == 1:
                 add_block(
@@ -331,12 +333,13 @@ def build_rows(m: T.Model, d: T.Data):
     else:
         con_J = jnp.zeros((0, mt.nv), dtype)
         con_pos = con_sr = con_si = con_iw = None
+        con_layout = []
 
     if not J and not ncon:
         z = jnp.zeros((0,), dtype)
         return (
             jnp.zeros((0, mt.nv), dtype), z, z, z,
-            jnp.zeros(0, bool), jnp.zeros(0, bool),
+            jnp.zeros(0, bool), jnp.zeros(0, bool), (0, []),
         )
 
     if J:
@@ -376,7 +379,8 @@ def build_rows(m: T.Model, d: T.Data):
     aref = -b * vel - k * imp * pos
     R = jnp.maximum((1.0 - imp) / jnp.maximum(imp, 1e-8) * invw, 1e-10)
     D = jnp.where(active, 1.0 / R, 0.0)
-    return J, aref, D, R, active, is_eq
+    n_loop = int(J.shape[0]) - (int(con_J.shape[0]) if ncon else 0)
+    return J, aref, D, R, active, is_eq, (n_loop, con_layout)
 
 
 def _slot_geoms(mt: T.Meta):
@@ -396,7 +400,7 @@ def solve_constraints(m: T.Model, d: T.Data) -> T.Data:
     dtype = d.qpos.dtype
     if mt.nv == 0:
         return d
-    J, aref, D, R, active, is_eq = build_rows(m, d)
+    J, aref, D, R, active, is_eq, layout = build_rows(m, d)
     n_rows = J.shape[0]
     if n_rows == 0:
         return dataclasses.replace(
@@ -458,6 +462,59 @@ def solve_constraints(m: T.Model, d: T.Data) -> T.Data:
     f = jnp.where(~is_eq, jnp.maximum(f, 0.0), f)
     qfrc_constraint = J.T @ f
     qacc = a_smooth + jax.scipy.linalg.cho_solve(L, qfrc_constraint)
+    con_force, cfrc_ext = _decode_contact_forces(m, d, f, layout)
     return dataclasses.replace(
-        d, qacc=qacc, qfrc_constraint=qfrc_constraint
+        d, qacc=qacc, qfrc_constraint=qfrc_constraint,
+        con_force=con_force, cfrc_ext=cfrc_ext,
     )
+
+
+def _decode_contact_forces(m: T.Model, d: T.Data, f, layout):
+    """Pyramid -> contact-frame force per slot (mju_decodePyramid semantics:
+    normal = sum of facet forces; tangent_i = mu_i (lam_i+ - lam_i-)), then
+    accumulated into com-based per-body wrenches (mjData.cfrc_ext analogue)."""
+    mt = m.meta
+    dtype = d.qpos.dtype
+    ncon = len(mt.con_condim)
+    con_force = jnp.zeros((ncon, 6), dtype)
+    cfrc_ext = jnp.zeros((mt.nbody, 6), dtype)
+    if not ncon:
+        return con_force, cfrc_ext
+    n_loop, con_layout = layout
+    base = n_loop
+    for cd, idx in con_layout:
+        k = len(idx)
+        ji = jnp.asarray(idx)
+        if cd == 1:
+            lam = f[base:base + k]
+            con_force = con_force.at[ji, 0].set(lam)
+            base += k
+        else:
+            nf = cd - 1
+            lam = f[base:base + 2 * nf * k].reshape(nf, 2, k)
+            con_force = con_force.at[ji, 0].set(jnp.sum(lam, axis=(0, 1)))
+            mu = m.con_friction[ji]
+            for i in range(nf):
+                comp = mu[:, i] * (lam[i, 0] - lam[i, 1])
+                con_force = con_force.at[ji, 1 + i].set(comp)
+            base += 2 * nf * k
+
+    # world-frame force/torque per slot
+    frame = d.contact.frame  # (ncon, 3, 3) rows n,t1,t2
+    F_w = jnp.einsum("ck,ckj->cj", con_force[:, :3], frame)
+    T_w = jnp.einsum("ck,ckj->cj", con_force[:, 3:], frame)
+
+    gb = mt.geom_bodyid
+    slot_geoms = _slot_geoms(mt)
+    b1s = jnp.asarray(np.array([gb[g1] for g1, _ in slot_geoms]))
+    b2s = jnp.asarray(np.array([gb[g2] for _, g2 in slot_geoms]))
+    roots = jnp.asarray(np.array(mt.body_rootid))
+    o1 = d.subtree_com[roots[b1s]]
+    o2 = d.subtree_com[roots[b2s]]
+    trq2 = T_w + jnp.cross(d.contact.pos - o2, F_w)
+    trq1 = T_w + jnp.cross(d.contact.pos - o1, F_w)
+    w2 = jnp.concatenate([trq2, F_w], axis=-1)
+    w1 = jnp.concatenate([trq1, F_w], axis=-1)
+    cfrc_ext = cfrc_ext.at[b2s].add(w2).at[b1s].add(-w1)
+    cfrc_ext = cfrc_ext.at[0].set(0.0)  # world row stays zero (mjc convention)
+    return con_force, cfrc_ext

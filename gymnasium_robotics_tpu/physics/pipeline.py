@@ -73,6 +73,8 @@ def make_data(m: T.Model, dtype=jnp.float32) -> T.Data:
         qfrc_smooth=z(mt.nv), qacc_smooth=z(mt.nv),
         qfrc_constraint=z(mt.nv), qacc=z(mt.nv),
         contact=contact,
+        con_force=z(ncon, 6),
+        cfrc_ext=z(mt.nbody, 6),
         sensordata=z(mt.nsensordata),
     )
 
@@ -201,8 +203,11 @@ def _rk4(m: T.Model, d: T.Data) -> T.Data:
     qpos = _integrate_qpos(m, qpos0, vavg, h)
     qvel = qvel0 + h * aavg
     act = _clamp_act(m, act0 + h * actavg)
+    # derived fields (contacts, cfrc_ext, ...) are reported from the LAST RK
+    # stage — matching MuJoCo's mj_RungeKutta, whose post-step mjData carries
+    # the final intermediate stage's forward results
     return dataclasses.replace(
-        d, qpos=qpos, qvel=qvel, act=act, time=d.time + h
+        dd, qpos=qpos, qvel=qvel, act=act, time=d.time + h
     )
 
 

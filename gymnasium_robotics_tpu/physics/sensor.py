@@ -40,11 +40,10 @@ def sensors(m: T.Model, d: T.Data) -> T.Data:
         for ci, (g1, g2) in enumerate(slot_geoms):
             if mt.geom_bodyid[g1] != body and mt.geom_bodyid[g2] != body:
                 continue
-            pen = jnp.maximum(-d.contact.dist[ci], 0.0)
-            near = (
-                jnp.linalg.norm(d.contact.pos[ci] - d.site_xpos[site])
-                < m.geom_rbound[g1] + m.geom_rbound[g2] + 0.05
-            )
-            total = total + jnp.where(near, pen * 1e4, 0.0)
+            # contact inside the sensor site zone (box test in site frame)
+            loc = d.site_xmat[site].T @ (d.contact.pos[ci] - d.site_xpos[site])
+            inside = jnp.all(jnp.abs(loc) <= m.site_size_arr[site] + 1e-6)
+            fn = jnp.maximum(d.con_force[ci, 0], 0.0)
+            total = total + jnp.where(inside, fn, 0.0)
         out = out.at[adr].set(total)
     return dataclasses.replace(d, sensordata=out)

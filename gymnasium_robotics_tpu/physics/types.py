@@ -210,6 +210,7 @@ class Model:
 
     site_pos: Any        # (nsite, 3)
     site_quat: Any       # (nsite, 4)
+    site_size_arr: Any   # (nsite, 3)
 
     eq_data: Any         # (neq, 11)
     eq_solref: Any       # (neq, 2)
@@ -327,4 +328,6 @@ class Data:
     qacc: Any          # (nv,)
 
     contact: Contact
+    con_force: Any     # (ncon, 6) decoded contact-frame force per slot
+    cfrc_ext: Any      # (nbody, 6) com-based external (contact+equality) wrench
     sensordata: Any    # (nsensordata,)
