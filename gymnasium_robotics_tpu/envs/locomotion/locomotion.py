@@ -200,11 +200,19 @@ class LocomotionEnv(core.FunctionalEnv):
             state, data=data, obs=obs,
             reward=jnp.zeros((), self.dtype),
             terminated=jnp.zeros((), bool), truncated=jnp.zeros((), bool),
-            info={"x_position": data.qpos[0], "y_position": data.qpos[1] if mt.nq > 1 else 0.0,
-                  "x_velocity": jnp.zeros((), self.dtype),
-                  "y_velocity": jnp.zeros((), self.dtype)},
+            info=self._zero_info(data),
             rng=rng, steps=jnp.zeros((), jnp.int32),
         )
+
+    def _zero_info(self, data):
+        """Reset-time info with the same pytree structure as step info (required
+        for masked auto-reset state selection)."""
+        z = jnp.zeros((), self.dtype)
+        return {
+            "x_position": data.qpos[0],
+            "y_position": data.qpos[1] if self.model.meta.nq > 1 else z,
+            "x_velocity": z, "y_velocity": z,
+        }
 
     def step(self, state: core.EnvState, action) -> core.EnvState:
         action = jnp.asarray(action, self.dtype)

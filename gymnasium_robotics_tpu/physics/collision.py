@@ -309,35 +309,70 @@ def collision(m: T.Model, d: T.Data) -> T.Data:
         )
         return dataclasses.replace(d, contact=contact)
 
-    dists, poss, normals, tangents, g1s, g2s = [], [], [], [], [], []
-    for g1, g2 in mt.pairs:
+    # Group candidate pairs by type pair and vmap each primitive narrowphase
+    # function over its whole group: trace size is O(#type-pairs), and each
+    # group executes as a single batched kernel (Fetch/Hand scenes have
+    # 1000+ candidate slots — per-slot tracing would dominate compile time).
+    groups: dict = {}
+    for order, (g1, g2) in enumerate(mt.pairs):
         t1, t2 = mt.geom_type[g1], mt.geom_type[g2]
+        groups.setdefault((t1, t2), []).append((order, g1, g2))
+
+    slot_results = {}
+    for (t1, t2), entries in groups.items():
         fn = _dispatch(t1, t2)
         k = pair_slots(t1, t2)
+        g1_idx = jnp.asarray(np.array([e[1] for e in entries]))
+        g2_idx = jnp.asarray(np.array([e[2] for e in entries]))
         if fn is None:
-            dd, pp, nn = _far(k, dtype)
-            tt = jnp.full((k, 3), jnp.nan, dtype)
+            n = len(entries)
+            dd = jnp.full((n, k), _BIG, dtype)
+            pp = jnp.zeros((n, k, 3), dtype)
+            nn = jnp.tile(jnp.array([0.0, 0, 1.0], dtype), (n, k, 1))
+            tt = jnp.full((n, k, 3), jnp.nan, dtype)
         else:
-            res = fn(
-                d.geom_xpos[g1], d.geom_xmat[g1], m.geom_size[g1],
-                d.geom_xpos[g2], d.geom_xmat[g2], m.geom_size[g2],
+            res = jax.vmap(fn)(
+                d.geom_xpos[g1_idx], d.geom_xmat[g1_idx], m.geom_size[g1_idx],
+                d.geom_xpos[g2_idx], d.geom_xmat[g2_idx], m.geom_size[g2_idx],
             )
             if len(res) == 4:
                 dd, pp, nn, tt = res
             else:
                 dd, pp, nn = res
-                tt = jnp.full((k, 3), jnp.nan, dtype)
-        dists.append(dd)
-        poss.append(pp)
-        normals.append(nn)
-        tangents.append(tt)
+                tt = jnp.full(nn.shape, jnp.nan, dtype)
+        slot_results[(t1, t2)] = (
+            dd.reshape(-1), pp.reshape(-1, 3), nn.reshape(-1, 3), tt.reshape(-1, 3)
+        )
+
+    # static permutation: group-major slot order -> canonical pair-major order
+    group_base = {}
+    offset = 0
+    for tp, entries in groups.items():
+        group_base[tp] = offset
+        offset += len(entries) * pair_slots(*tp)
+    perm = np.zeros(offset, dtype=np.int64)
+    g1s, g2s = [], []
+    pos_in_group = {tp: 0 for tp in groups}
+    cursor = 0
+    for g1, g2 in mt.pairs:
+        tp = (mt.geom_type[g1], mt.geom_type[g2])
+        k = pair_slots(*tp)
+        src = group_base[tp] + pos_in_group[tp] * k
+        perm[cursor:cursor + k] = np.arange(src, src + k)
+        pos_in_group[tp] += 1
+        cursor += k
         g1s += [g1] * k
         g2s += [g2] * k
+    perm = jnp.asarray(perm)
 
-    dist = jnp.concatenate(dists)
-    pos = jnp.concatenate(poss)
-    normal = jnp.concatenate(normals)
-    tan1 = jnp.concatenate(tangents)
+    all_d = jnp.concatenate([slot_results[tp][0] for tp in groups])
+    all_p = jnp.concatenate([slot_results[tp][1] for tp in groups])
+    all_n = jnp.concatenate([slot_results[tp][2] for tp in groups])
+    all_t = jnp.concatenate([slot_results[tp][3] for tp in groups])
+    dist = all_d[perm]
+    pos = all_p[perm]
+    normal = all_n[perm]
+    tan1 = all_t[perm]
     contact = T.Contact(
         dist=dist,
         pos=pos,

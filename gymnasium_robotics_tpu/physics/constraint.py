@@ -249,52 +249,26 @@ def build_rows(m: T.Model, d: T.Data):
         dist_hi = m.tendon_range[t, 1] - length
         add(-d.ten_J[t], dist_hi - margin, sr, si, iw, dist_hi < margin, False)
 
-    # --- contacts (pyramidal cone), fully vectorized over slots
+    # --- contacts (pyramidal cone), vectorized over slots with optional
+    # top-K capping per condim group: only the K deepest candidate slots get
+    # constraint rows (the MJX-style max-contacts bound). The static slot
+    # table may be large (every wall x every leg for mazes); the number of
+    # simultaneously active contacts is small, so capping keeps nefc — and
+    # the Newton system — compact without changing physics.
     c = d.contact
     ncon = len(mt.con_condim)
     if ncon:
         gb = mt.geom_bodyid
         slot_geoms = _slot_geoms(mt)
-        b1s = np.array([gb[g1] for g1, _ in slot_geoms])
-        b2s = np.array([gb[g2] for _, g2 in slot_geoms])
-        roots = np.array(mt.body_rootid)
-        o = d.subtree_com[jnp.asarray(roots[b1s])]  # same tree... use per-body root
-        # point jacobians for all slots: (ncon, nv, 3)
-        def _jacs(bodies):
-            oo = d.subtree_com[jnp.asarray(roots[bodies])]
-            off = c.pos - oo
-            jacp = d.cdof[None, :, 3:] + jnp.cross(
-                d.cdof[None, :, :3], off[:, None, :]
-            )
-            mk = masks[jnp.asarray(bodies)][:, :, None]
-            return jacp * mk, d.cdof[None, :, :3] * mk
+        b1s_np = np.array([gb[g1] for g1, _ in slot_geoms])
+        b2s_np = np.array([gb[g2] for _, g2 in slot_geoms])
+        roots_np = np.array(mt.body_rootid)
+        pen_all = c.dist - m.con_includemargin
+        cap = getattr(mt.opt, "contact_cap", 0)
 
-        jp1, jr1 = _jacs(b1s)
-        jp2, jr2 = _jacs(b2s)
-        Jp = jp2 - jp1  # (ncon, nv, 3) relative translational jacobian
-        Jr = jr2 - jr1
-        n_ax = c.frame[:, 0]
-        t1_ax = c.frame[:, 1]
-        t2_ax = c.frame[:, 2]
-        Jn = jnp.einsum("cvk,ck->cv", Jp, n_ax)
-        Jt1 = jnp.einsum("cvk,ck->cv", Jp, t1_ax)
-        Jt2 = jnp.einsum("cvk,ck->cv", Jp, t2_ax)
-        Jrn = jnp.einsum("cvk,ck->cv", Jr, n_ax)
-        Jrt1 = jnp.einsum("cvk,ck->cv", Jr, t1_ax)
-        Jrt2 = jnp.einsum("cvk,ck->cv", Jr, t2_ax)
-        pen = c.dist - m.con_includemargin
-        act_c = pen < 0.0
-        iw_c = (
-            m.body_invweight0[jnp.asarray(b1s), 0]
-            + m.body_invweight0[jnp.asarray(b2s), 0]
-        )
-        mu = m.con_friction
-        axes_all = [Jt1, Jt2, Jrn, Jrt1, Jrt2]
-
-        # group slots by condim; emit whole (k, nv) row blocks per facet
         cond_arr = np.array(mt.con_condim)
         blocks = {"J": [], "pos": [], "sr": [], "si": [], "iw": [], "act": []}
-        con_layout = []  # (condim, slot_idx array, facet-block row count)
+        con_layout = []  # (condim, selected slot index array [traced or static])
 
         def add_block(Jb, pb, srb, sib, iwb, actb):
             blocks["J"].append(Jb)
@@ -306,22 +280,62 @@ def build_rows(m: T.Model, d: T.Data):
 
         for cd in sorted(set(mt.con_condim)):
             idx = np.nonzero(cond_arr == cd)[0]
-            con_layout.append((cd, idx))
-            ji = jnp.asarray(idx)
-            if cd == 1:
-                add_block(
-                    Jn[ji], pen[ji], m.con_solref[ji], m.con_solimp[ji],
-                    iw_c[ji], act_c[ji],
-                )
+            if cap and len(idx) > cap:
+                # deepest-first selection within the group
+                _, order = jax.lax.top_k(-pen_all[jnp.asarray(idx)], cap)
+                sel = jnp.asarray(idx)[order]
             else:
+                sel = jnp.asarray(idx)
+            con_layout.append((cd, sel))
+            k = int(sel.shape[0])
+
+            pos_s = c.pos[sel]
+            frame_s = c.frame[sel]
+            pen = pen_all[sel]
+            b1 = jnp.asarray(b1s_np)[sel]
+            b2 = jnp.asarray(b2s_np)[sel]
+            roots = jnp.asarray(roots_np)
+
+            def _jacs(bodies):
+                oo = d.subtree_com[roots[bodies]]
+                off = pos_s - oo
+                jacp = d.cdof[None, :, 3:] + jnp.cross(
+                    d.cdof[None, :, :3], off[:, None, :]
+                )
+                mk = masks[bodies][:, :, None]
+                return jacp * mk, d.cdof[None, :, :3] * mk
+
+            jp1, jr1 = _jacs(b1)
+            jp2, jr2 = _jacs(b2)
+            Jp = jp2 - jp1  # (k, nv, 3)
+            Jr = jr2 - jr1
+            Jn = jnp.einsum("cvk,ck->cv", Jp, frame_s[:, 0])
+            act_c = pen < 0.0
+            iw_c = (
+                m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
+            )
+            sr_s = m.con_solref[sel]
+            si_s = m.con_solimp[sel]
+            if cd == 1:
+                add_block(Jn, pen, sr_s, si_s, iw_c, act_c)
+            else:
+                axes = [
+                    jnp.einsum("cvk,ck->cv", Jp, frame_s[:, 1]),
+                    jnp.einsum("cvk,ck->cv", Jp, frame_s[:, 2]),
+                ]
+                if cd > 3:
+                    axes.append(jnp.einsum("cvk,ck->cv", Jr, frame_s[:, 0]))
+                if cd > 4:
+                    axes.append(jnp.einsum("cvk,ck->cv", Jr, frame_s[:, 1]))
+                    axes.append(jnp.einsum("cvk,ck->cv", Jr, frame_s[:, 2]))
+                mu_s = m.con_friction[sel]
                 for i in range(cd - 1):
-                    mui = mu[ji, i]
-                    iwp = 2.0 * mui * mui * (1.0 + mui * mui) * iw_c[ji]
+                    mui = mu_s[:, i]
+                    iwp = 2.0 * mui * mui * (1.0 + mui * mui) * iw_c
                     for s in (1.0, -1.0):
                         add_block(
-                            Jn[ji] + s * mui[:, None] * axes_all[i][ji],
-                            pen[ji], m.con_solref[ji], m.con_solimp[ji],
-                            iwp, act_c[ji],
+                            Jn + s * mui[:, None] * axes[i],
+                            pen, sr_s, si_s, iwp, act_c,
                         )
 
         con_J = jnp.concatenate(blocks["J"])
@@ -482,21 +496,20 @@ def _decode_contact_forces(m: T.Model, d: T.Data, f, layout):
         return con_force, cfrc_ext
     n_loop, con_layout = layout
     base = n_loop
-    for cd, idx in con_layout:
-        k = len(idx)
-        ji = jnp.asarray(idx)
+    for cd, sel in con_layout:
+        k = int(sel.shape[0])
         if cd == 1:
             lam = f[base:base + k]
-            con_force = con_force.at[ji, 0].set(lam)
+            con_force = con_force.at[sel, 0].set(lam)
             base += k
         else:
             nf = cd - 1
             lam = f[base:base + 2 * nf * k].reshape(nf, 2, k)
-            con_force = con_force.at[ji, 0].set(jnp.sum(lam, axis=(0, 1)))
-            mu = m.con_friction[ji]
+            con_force = con_force.at[sel, 0].set(jnp.sum(lam, axis=(0, 1)))
+            mu = m.con_friction[sel]
             for i in range(nf):
                 comp = mu[:, i] * (lam[i, 0] - lam[i, 1])
-                con_force = con_force.at[ji, 1 + i].set(comp)
+                con_force = con_force.at[sel, 1 + i].set(comp)
             base += 2 * nf * k
 
     # world-frame force/torque per slot

@@ -59,6 +59,9 @@ class Option:
     integrator: int = EULER
     density: float = 0.0
     viscosity: float = 0.0
+    # max simultaneously active contact slots per condim group (0 = no cap);
+    # the TPU-native bound on nefc for scenes with large static pair tables
+    contact_cap: int = 0
     # disable flags
     disable_contact: bool = False
     disable_gravity: bool = False
@@ -259,6 +262,12 @@ class Model:
     def name2id(self, kind: str, name: str) -> int:
         names = getattr(self.meta, f"{kind}_names")
         return names.index(name)
+
+    def with_options(self, **kw) -> "Model":
+        """Return a copy with simulation Option fields overridden (e.g.
+        contact_cap, iterations)."""
+        opt = dataclasses.replace(self.meta.opt, **kw)
+        return dataclasses.replace(self, meta=dataclasses.replace(self.meta, opt=opt))
 
 
 @_register
