@@ -29,13 +29,13 @@ def _meta_to_json(meta: T.Meta) -> str:
 
 def _meta_from_json(s: str) -> T.Meta:
     d = json.loads(s)
-    opt = T.Option(**d.pop("opt"))
 
     def tup(x):
         if isinstance(x, list):
             return tuple(tup(e) for e in x)
         return x
 
+    opt = T.Option(**{k: tup(v) for k, v in d.pop("opt").items()})
     d = {k: tup(v) for k, v in d.items()}
     return T.Meta(opt=opt, **d)
 

@@ -567,3 +567,24 @@ def _point_jac(m, d, mask, point, body):
     jacp = (d.cdof[:, 3:] + jnp.cross(d.cdof[:, :3], offset[None, :])) * mask[:, None]
     jacr = d.cdof[:, :3] * mask[:, None]
     return jacp, jacr
+
+
+# ---------------------------------------------------------------------------
+# Level-vectorized implementations (smooth_vec) supersede the unrolled
+# reference implementations above: ~10x fewer XLA ops (op count scales with
+# tree depth, not body count). The originals are kept (suffix _ref) for
+# debugging; numerics are identical (tests/test_physics_parity.py).
+# ---------------------------------------------------------------------------
+kinematics_ref = kinematics
+com_pos_ref = com_pos
+com_vel_ref = com_vel
+crb_ref = crb
+rne_ref = rne
+
+from gymnasium_robotics_tpu.physics import smooth_vec as _sv  # noqa: E402
+
+kinematics = _sv.kinematics
+com_pos = _sv.com_pos
+com_vel = _sv.com_vel
+crb = _sv.crb
+rne = _sv.rne

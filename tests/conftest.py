@@ -11,3 +11,8 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)  # physics parity tests compare in f64
+
+# persistent compilation cache: recompiles across test runs are the dominant
+# cost for the bigger models
+jax.config.update("jax_compilation_cache_dir", "/tmp/grt_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
