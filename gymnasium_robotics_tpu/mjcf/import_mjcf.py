@@ -84,7 +84,59 @@ def _collision_pairs(m, geom_type) -> tuple:
     return tuple(pairs)
 
 
-def import_model(m, dtype=np.float32) -> "T.Model":
+def _filter_mesh_rest_penetrations(
+    m, pairs, geom_type, geom_pos, geom_quat, geom_size, mesh_substituted,
+    filter_qpos=None,
+):
+    """Drop candidate pairs involving a mesh-substituted geom that already
+    interpenetrate at qpos0: the true meshes are contact-free there by design
+    (e.g. adjacent robot links), so a box-approximation overlap is an artifact
+    that would inject permanent spurious forces."""
+    import mujoco
+    from scipy.spatial.transform import Rotation as R
+
+    if not mesh_substituted.any():
+        return pairs
+    d0 = mujoco.MjData(m)
+    d0.qpos[:] = m.qpos0 if filter_qpos is None else filter_qpos
+    mujoco.mj_forward(m, d0)
+
+    def world_box(g):
+        bid = m.geom_bodyid[g]
+        Rb = d0.xmat[bid].reshape(3, 3)
+        pb = d0.xpos[bid]
+        rot = R.from_quat(np.array(geom_quat[g])[[1, 2, 3, 0]]).as_matrix()
+        return pb + Rb @ np.array(geom_pos[g]), Rb @ rot, np.array(geom_size[g])
+
+    def overlap(g1, g2):
+        # separating-axis test on the two boxes' face axes (sufficient here)
+        p1, R1, s1 = world_box(g1)
+        p2, R2, s2 = world_box(g2)
+        dvec = p2 - p1
+        axes = [R1[:, i] for i in range(3)] + [R2[:, i] for i in range(3)]
+        min_sep = np.inf
+        for ax in axes:
+            r1 = np.sum(np.abs(R1.T @ ax) * s1)
+            r2 = np.sum(np.abs(R2.T @ ax) * s2)
+            sep = abs(np.dot(dvec, ax)) - (r1 + r2)
+            min_sep = min(min_sep, -sep)  # positive = overlapping on this axis
+            if sep > 0:
+                return False, 0.0
+        return True, min_sep
+
+    out = []
+    for g1, g2 in pairs:
+        if (mesh_substituted[g1] or mesh_substituted[g2]) and (
+            geom_type[g1] == T.BOX and geom_type[g2] == T.BOX
+        ):
+            pen, depth = overlap(g1, g2)
+            if pen and depth > 1e-5:
+                continue
+        out.append((g1, g2))
+    return tuple(out)
+
+
+def import_model(m, dtype=np.float32, filter_qpos=None) -> "T.Model":
     """Convert a compiled mujoco.MjModel into the engine's Model pytree."""
     import jax.numpy as jnp
 
@@ -94,17 +146,25 @@ def import_model(m, dtype=np.float32) -> "T.Model":
     geom_size = np.array(m.geom_size, dtype=dtype)
 
     # Mesh -> bounding box substitution (collision approximation, round-1).
+    # The box is the vertex AABB in the PARENT BODY frame (geom_quat absorbed):
+    # a local-frame AABB would overestimate along rotated axes, e.g. lifting
+    # the fetch base 2cm off the floor.
+    mesh_substituted = np.zeros(m.ngeom, dtype=bool)
+    from scipy.spatial.transform import Rotation as R
+
     for g in range(m.ngeom):
         if geom_type[g] == T.MESH:
-            aabb = np.array(m.geom_aabb[g], dtype=dtype)  # center(3), halfsize(3)
-            center, half = aabb[:3], np.maximum(aabb[3:], 1e-4)
-            # offset the geom frame by the aabb center (in geom frame)
-            from scipy.spatial.transform import Rotation as R
-
-            rot = R.from_quat(geom_quat[g][[1, 2, 3, 0]]).as_matrix()
-            geom_pos[g] = geom_pos[g] + rot @ center
-            geom_size[g] = half
+            mid = m.geom_dataid[g]
+            va, vn = m.mesh_vertadr[mid], m.mesh_vertnum[mid]
+            verts = np.array(m.mesh_vert[va:va + vn], dtype=np.float64)
+            rot = R.from_quat(np.array(geom_quat[g])[[1, 2, 3, 0]]).as_matrix()
+            v_body = verts @ rot.T + np.array(geom_pos[g])
+            lo, hi = v_body.min(0), v_body.max(0)
+            geom_pos[g] = ((lo + hi) / 2).astype(dtype)
+            geom_size[g] = np.maximum((hi - lo) / 2, 1e-4).astype(dtype)
+            geom_quat[g] = np.array([1.0, 0, 0, 0], dtype=dtype)
             geom_type[g] = T.BOX
+            mesh_substituted[g] = True
 
     opt = T.Option(
         timestep=float(m.opt.timestep),
@@ -126,6 +186,10 @@ def import_model(m, dtype=np.float32) -> "T.Model":
     from gymnasium_robotics_tpu.physics import collision as _col
 
     pairs = _collision_pairs(m, geom_type)
+    pairs = _filter_mesh_rest_penetrations(
+        m, pairs, geom_type, geom_pos, geom_quat, geom_size, mesh_substituted,
+        filter_qpos=filter_qpos,
+    )
     slot = _col.slot_params(m, pairs, geom_type)
 
     meta = T.Meta(

@@ -122,11 +122,14 @@ def build_rows(m: T.Model, d: T.Data):
     dtype = d.qpos.dtype
     masks = jnp.asarray(_body_dof_masks(mt), dtype)
 
-    J, pos, solref, solimp, invw, active, is_eq, fl = [], [], [], [], [], [], [], []
+    J, pos, solref, solimp, invw, active, is_eq = [], [], [], [], [], [], []
+    pos_imp = []  # violation magnitude driving the impedance (equality rows
+    # share the residual NORM across their rows, mirroring mj_instantiateEquality)
 
-    def add(Jr, p, sr, si, iw, act, eq):
+    def add(Jr, p, sr, si, iw, act, eq, p_imp=None):
         J.append(Jr)
         pos.append(p)
+        pos_imp.append(p if p_imp is None else p_imp)
         solref.append(sr)
         solimp.append(si)
         invw.append(iw)
@@ -149,8 +152,9 @@ def build_rows(m: T.Model, d: T.Data):
             Jr = jp1 - jp2
             err = p1 - p2
             iw = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
+            nrm = jnp.linalg.norm(err)
             for k in range(3):
-                add(Jr[k], err[k], sr, si, iw, act, True)
+                add(Jr[k], err[k], sr, si, iw, act, True, p_imp=nrm)
         elif et == T.EQ_WELD:
             # residuals calibrated against mjData.efc_pos/efc_J:
             #   position: (x1 + R1 a1) - (x2 + R2 a2),  a1 = data[0:3], a2 = data[3:6]
@@ -183,10 +187,11 @@ def build_rows(m: T.Model, d: T.Data):
             Jr = 0.5 * torquescale * (A @ (jr1 - jr2))
             iw_t = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
             iw_r = m.body_invweight0[b1, 1] + m.body_invweight0[b2, 1]
+            nrm = jnp.linalg.norm(jnp.concatenate([err_p, err_q]))
             for k in range(3):
-                add(Jp[k], err_p[k], sr, si, iw_t, act, True)
+                add(Jp[k], err_p[k], sr, si, iw_t, act, True, p_imp=nrm)
             for k in range(3):
-                add(Jr[k], err_q[k], sr, si, iw_r, act, True)
+                add(Jr[k], err_q[k], sr, si, iw_r, act, True, p_imp=nrm)
         elif et == T.EQ_JOINT:
             j1, j2 = mt.eq_obj1id[e], mt.eq_obj2id[e]
             data = m.eq_data[e]
@@ -359,6 +364,7 @@ def build_rows(m: T.Model, d: T.Data):
     if J:
         J = jnp.stack(J)
         pos = jnp.stack(pos)
+        pos_imp_arr = jnp.stack(pos_imp)
         solref = jnp.stack(solref)
         solimp = jnp.stack(solimp)
         invw = jnp.stack(invw)
@@ -367,6 +373,7 @@ def build_rows(m: T.Model, d: T.Data):
     else:
         J = jnp.zeros((0, mt.nv), dtype)
         pos = jnp.zeros((0,), dtype)
+        pos_imp_arr = jnp.zeros((0,), dtype)
         solref = jnp.zeros((0, 2), dtype)
         solimp = jnp.zeros((0, 5), dtype)
         invw = jnp.zeros((0,), dtype)
@@ -377,6 +384,7 @@ def build_rows(m: T.Model, d: T.Data):
         n_loop = J.shape[0]
         J = jnp.concatenate([J, con_J])
         pos = jnp.concatenate([pos, con_pos])
+        pos_imp_arr = jnp.concatenate([pos_imp_arr, con_pos])
         solref = jnp.concatenate([solref, con_sr])
         solimp = jnp.concatenate([solimp, con_si])
         invw = jnp.concatenate([invw, con_iw])
@@ -388,7 +396,7 @@ def build_rows(m: T.Model, d: T.Data):
         is_eq = is_eq_arr
 
     dt = mt.opt.timestep
-    imp, b, k = _kbi(solref, solimp, pos, dt)
+    imp, b, k = _kbi(solref, solimp, pos_imp_arr, dt)
     vel = J @ d.qvel
     aref = -b * vel - k * imp * pos
     R = jnp.maximum((1.0 - imp) / jnp.maximum(imp, 1e-8) * invw, 1e-10)

@@ -96,7 +96,8 @@ def build_fetch(task: str):
     if cfg["has_object"]:
         osite = mujoco.mj_name2id(m, mujoco.mjtObj.mjOBJ_SITE, "object0")
         extra["height_offset"] = np.array(d.site_xpos[osite][2])
-    model = import_model(m, dtype=np.float64)
+    # exclude mesh-box artifact pairs judged at the warmed-up pose
+    model = import_model(m, dtype=np.float64, filter_qpos=d.qpos.copy())
     serialize.save_model(model, serialize.asset_path(f"fetch/{task}"), extra=extra)
     print(f"fetch/{task}: nq={m.nq} ncon_slots={len(model.meta.con_condim)} saved")
 
