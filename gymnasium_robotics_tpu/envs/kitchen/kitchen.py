@@ -1,0 +1,231 @@
+"""Franka Kitchen: 9-DoF arm, multitask GoalEnv with Dict-of-Dict goal space.
+
+Functional re-design of gymnasium_robotics/envs/franka_kitchen/: action =
+joint velocities integrated to position targets against the last NOISY qpos
+(franka_env.py:92-171 — the documented non-MDP quirk is preserved by carrying
+``last_robot_qpos`` in EnvState.aux); 7 tasks with target joint configurations
+(OBS_ELEMENT_INDICES/GOALS, kitchen_env.py:27-45); reward = number of tasks
+newly entering the 0.3 threshold this step (:356-369); completed tasks removed
+from a boolean ``tasks_to_complete`` mask; terminated when all complete.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gymnasium_robotics_tpu import core
+from gymnasium_robotics_tpu.mjcf import serialize
+from gymnasium_robotics_tpu.physics import pipeline, smooth
+
+OBS_ELEMENT_INDICES = {
+    "bottom burner": np.array([11, 12]),
+    "top burner": np.array([15, 16]),
+    "light switch": np.array([17, 18]),
+    "slide cabinet": np.array([19]),
+    "hinge cabinet": np.array([20, 21]),
+    "microwave": np.array([22]),
+    "kettle": np.array([23, 24, 25, 26, 27, 28, 29]),
+}
+OBS_ELEMENT_GOALS = {
+    "bottom burner": np.array([-0.88, -0.01]),
+    "top burner": np.array([-0.92, -0.01]),
+    "light switch": np.array([-0.69, -0.05]),
+    "slide cabinet": np.array([0.37]),
+    "hinge cabinet": np.array([0.0, 1.45]),
+    "microwave": np.array([-0.75]),
+    "kettle": np.array([-0.23, 0.75, 1.62, 0.99, 0.0, 0.0, -0.06]),
+}
+BONUS_THRESH = 0.3
+
+
+class KitchenEnv(core.GoalEnv):
+    metadata = {"render_modes": [], "render_fps": 12}
+    frame_skip = 40
+
+    def __init__(
+        self,
+        tasks_to_complete=("microwave", "kettle"),
+        terminate_on_tasks_completed=True,
+        remove_task_when_completed=True,
+        object_noise_ratio=0.0005,
+        robot_noise_ratio=0.01,
+        max_episode_steps=None,
+        dtype=jnp.float32,
+    ):
+        self.tasks = tuple(tasks_to_complete)
+        for t in self.tasks:
+            if t not in OBS_ELEMENT_GOALS:
+                raise ValueError(f"Unknown task {t}")
+        self.terminate_on_tasks_completed = terminate_on_tasks_completed
+        self.remove_task_when_completed = remove_task_when_completed
+        self.object_noise_ratio = object_noise_ratio
+        self.robot_noise_ratio = robot_noise_ratio
+        self.max_episode_steps = max_episode_steps
+        self.dtype = dtype
+        npdtype = np.float64 if dtype == jnp.float64 else np.float32
+        self.model, extra = serialize.load_asset("kitchen/kitchen", dtype=npdtype)
+        self.model = self.model.with_options(contact_cap=32)
+        self._init_qpos = jnp.asarray(extra["initial_qpos"], dtype)
+        self._init_qvel = jnp.asarray(extra["initial_qvel"], dtype)
+        self._pos_bound = jnp.asarray(extra["pos_bound"], dtype)
+        self._vel_bound = jnp.asarray(extra["vel_bound"], dtype)
+        self._pos_amp = jnp.asarray(extra["pos_noise_amp"], dtype)
+        self._vel_amp = jnp.asarray(extra["vel_noise_amp"], dtype)
+        ctrlrange = np.asarray(jax.device_get(self.model.actuator_ctrlrange))
+        self._act_mid = jnp.asarray(ctrlrange.mean(axis=1), dtype)
+        self._act_rng = jnp.asarray(
+            0.5 * (ctrlrange[:, 1] - ctrlrange[:, 0]), dtype
+        )
+        self.dt = self.model.opt.timestep * self.frame_skip
+        self._goal = {
+            t: jnp.asarray(OBS_ELEMENT_GOALS[t], dtype) for t in self.tasks
+        }
+
+        import gymnasium.spaces as spaces
+
+        self.action_space = spaces.Box(-1.0, 1.0, shape=(9,), dtype=np.float32)
+        self.observation_space = spaces.Dict(
+            dict(
+                observation=spaces.Box(-np.inf, np.inf, (59,), np.float64),
+                achieved_goal=spaces.Dict(
+                    {t: spaces.Box(-np.inf, np.inf, OBS_ELEMENT_GOALS[t].shape,
+                                   np.float64) for t in self.tasks}
+                ),
+                desired_goal=spaces.Dict(
+                    {t: spaces.Box(-np.inf, np.inf, OBS_ELEMENT_GOALS[t].shape,
+                                   np.float64) for t in self.tasks}
+                ),
+            )
+        )
+
+    # --- GoalEnv contract: Dict-of-Dict goals (kitchen_env.py:356-369) ---
+    def compute_reward(self, achieved_goal, desired_goal, info=None):
+        completions = self._completions(achieved_goal, desired_goal)
+        mask = info["tasks_to_complete"] if info and "tasks_to_complete" in info \
+            else jnp.ones(len(self.tasks), bool)
+        return jnp.sum(completions & mask).astype(self.dtype)
+
+    def _completions(self, achieved, desired):
+        return jnp.stack(
+            [
+                jnp.linalg.norm(achieved[t] - desired[t], axis=-1) < BONUS_THRESH
+                for t in self.tasks
+            ],
+            axis=-1,
+        )
+
+    def compute_terminated(self, achieved_goal, desired_goal, info=None):
+        done = jnp.all(self._completions(achieved_goal, desired_goal), axis=-1)
+        if self.terminate_on_tasks_completed:
+            return done
+        return jnp.zeros_like(done)
+
+    # --- obs ---
+    def _get_obs(self, data, rng):
+        r1, r2, r3, r4 = jax.random.split(rng, 4)
+        robot_qpos = data.qpos[:9] + self.robot_noise_ratio * self._pos_amp[:9] * \
+            jax.random.uniform(r1, (9,), self.dtype, -1.0, 1.0)
+        robot_qvel = data.qvel[:9] + self.robot_noise_ratio * self._vel_amp[:9] * \
+            jax.random.uniform(r2, (9,), self.dtype, -1.0, 1.0)
+        obj_qpos = data.qpos[9:] + self.object_noise_ratio * self._pos_amp[8:29] * \
+            jax.random.uniform(r3, (self.model.nq - 9,), self.dtype, -1.0, 1.0)
+        obj_qvel = data.qvel[9:] + self.object_noise_ratio * self._vel_amp[9:30] * \
+            jax.random.uniform(r4, (self.model.meta.nv - 9,), self.dtype, -1.0, 1.0)
+        achieved = {
+            t: data.qpos[jnp.asarray(OBS_ELEMENT_INDICES[t])] for t in self.tasks
+        }
+        obs = jnp.concatenate([robot_qpos, robot_qvel, obj_qpos, obj_qvel])
+        return (
+            dict(observation=obs, achieved_goal=achieved, desired_goal=self._goal),
+            robot_qpos,
+        )
+
+    # --- env API ---
+    def initial(self, rng) -> core.EnvState:
+        data = pipeline.make_data(self.model, dtype=self.dtype)
+        state = core.EnvState(
+            data=data, obs=None, reward=jnp.zeros((), self.dtype),
+            terminated=jnp.zeros((), bool), truncated=jnp.zeros((), bool),
+            info={}, rng=rng, goal=jnp.zeros(0, self.dtype),
+            steps=jnp.zeros((), jnp.int32), aux={},
+        )
+        return self.reset(state, rng)
+
+    def reset(self, state, rng):
+        rng, r_obs = jax.random.split(rng)
+        data = pipeline.make_data(self.model, dtype=self.dtype)
+        data = dataclasses.replace(
+            data, qpos=self._init_qpos, qvel=self._init_qvel
+        )
+        data = smooth.kinematics(self.model, data)
+        obs, last_qpos = self._get_obs(data, r_obs)
+        n = len(self.tasks)
+        info = {
+            "tasks_to_complete": jnp.ones(n, bool),
+            "step_task_completions": jnp.zeros(n, bool),
+            "episode_task_completions": jnp.zeros(n, bool),
+        }
+        return dataclasses.replace(
+            state, data=data, obs=obs,
+            reward=jnp.zeros((), self.dtype),
+            terminated=jnp.zeros((), bool), truncated=jnp.zeros((), bool),
+            info=info, rng=rng, steps=jnp.zeros((), jnp.int32),
+            aux={
+                "last_robot_qpos": last_qpos,
+                "tasks_to_complete": jnp.ones(n, bool),
+                "episode_task_completions": jnp.zeros(n, bool),
+            },
+        )
+
+    def step(self, state, action):
+        action = jnp.clip(jnp.asarray(action, self.dtype), -1.0, 1.0)
+        # denormalize to velocity, clip, integrate against last NOISY qpos
+        # (franka_env.py:141-171)
+        vel = self._act_mid + action * self._act_rng
+        vel = jnp.clip(vel, self._vel_bound[:9, 0], self._vel_bound[:9, 1])
+        ctrl = state.aux["last_robot_qpos"] + vel * self.dt
+        ctrl = jnp.clip(ctrl, self._pos_bound[:9, 0], self._pos_bound[:9, 1])
+        data = pipeline.step_n(self.model, state.data, ctrl, self.frame_skip)
+        rng, r_obs = jax.random.split(state.rng)
+        obs, last_qpos = self._get_obs(data, r_obs)
+
+        completions = self._completions(obs["achieved_goal"], self._goal)
+        todo = state.aux["tasks_to_complete"]
+        step_comp = completions & todo
+        reward = jnp.sum(step_comp).astype(self.dtype)
+        if self.remove_task_when_completed:
+            todo = todo & ~step_comp
+        episode_comp = state.aux["episode_task_completions"] | step_comp
+        terminated = (
+            jnp.all(episode_comp)
+            if self.terminate_on_tasks_completed
+            else jnp.zeros((), bool)
+        )
+        info = {
+            "tasks_to_complete": todo,
+            "step_task_completions": step_comp,
+            "episode_task_completions": episode_comp,
+        }
+        return dataclasses.replace(
+            state, data=data, obs=obs, reward=reward,
+            terminated=terminated, truncated=jnp.zeros((), bool),
+            info=info, rng=rng, steps=state.steps + 1,
+            aux={
+                "last_robot_qpos": last_qpos,
+                "tasks_to_complete": todo,
+                "episode_task_completions": episode_comp,
+            },
+        )
+
+
+def register_kitchen_envs(register):
+    register(
+        id="FrankaKitchen-v1",
+        entry_point=KitchenEnv,
+        max_episode_steps=280,
+        kwargs={},
+    )

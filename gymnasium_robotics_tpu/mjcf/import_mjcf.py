@@ -136,6 +136,83 @@ def _filter_mesh_rest_penetrations(
     return tuple(out)
 
 
+def _reachability_prune(m, pairs, geom_type, geom_size, filter_qpos=None):
+    """Drop pairs whose geoms can never meet: each geom's reachable region is
+    bounded by a sphere around its rest position whose radius adds the travel
+    bounds of every joint between it and the world (slide: range span; hinge:
+    range span x lever arm; ball/free/unlimited: unbounded). This is the static
+    analogue of MuJoCo's runtime broadphase for articulated furniture scenes
+    (kitchen: prunes ~10x of the candidate table)."""
+    import mujoco
+
+    d0 = mujoco.MjData(m)
+    d0.qpos[:] = m.qpos0 if filter_qpos is None else filter_qpos
+    mujoco.mj_forward(m, d0)
+
+    UNBOUNDED = 1e9
+    geom_center = d0.geom_xpos.copy()
+
+    def geom_radius(g):
+        if geom_type[g] == T.PLANE:
+            return UNBOUNDED
+        if geom_type[g] == T.BOX:
+            return float(np.linalg.norm(geom_size[g]))
+        return float(m.geom_rbound[g])
+
+    # subtree membership (a joint swings every geom below it)
+    in_subtree = np.zeros((m.nbody, m.nbody), dtype=bool)
+    for b in range(m.nbody):
+        bb = b
+        while bb >= 0:
+            in_subtree[bb, b] = True
+            if bb == 0:
+                break
+            bb = int(m.body_parentid[bb])
+
+    # travel bound accumulated per body (root -> leaf)
+    travel = np.zeros(m.nbody)
+    for b in range(1, m.nbody):
+        t = travel[m.body_parentid[b]]
+        for j in range(m.body_jntadr[b], m.body_jntadr[b] + m.body_jntnum[b]):
+            jt = int(m.jnt_type[j])
+            limited = bool(m.jnt_limited[j])
+            lo, hi = m.jnt_range[j]
+            if jt == 2 and limited:        # slide
+                t += float(hi - lo)
+            elif jt == 3 and limited:      # hinge: span x subtree lever arm
+                anchor = d0.xanchor[j]
+                arm = 0.1
+                for g in range(m.ngeom):
+                    if in_subtree[b, int(m.geom_bodyid[g])]:
+                        gr = geom_radius(g)
+                        if gr < 1e8:
+                            arm = max(
+                                arm,
+                                float(np.linalg.norm(d0.geom_xpos[g] - anchor)) + gr,
+                            )
+                span = min(float(hi - lo), 2 * np.pi)
+                t += span * arm
+            else:                          # free/ball/unlimited
+                t = UNBOUNDED
+        travel[b] = t
+
+    # subtree geoms inherit DESCENDANT joints too: propagate max down is done
+    # (travel accumulates root->leaf); a geom's bound = its body's travel
+    out = []
+    for g1, g2 in pairs:
+        b1, b2 = int(m.geom_bodyid[g1]), int(m.geom_bodyid[g2])
+        r = (
+            geom_radius(g1) + geom_radius(g2)
+            + travel[b1] + travel[b2] + 0.05
+        )
+        if r < 1e8:
+            dist = float(np.linalg.norm(geom_center[g1] - geom_center[g2]))
+            if dist > r:
+                continue
+        out.append((g1, g2))
+    return tuple(out)
+
+
 def import_model(m, dtype=np.float32, filter_qpos=None) -> "T.Model":
     """Convert a compiled mujoco.MjModel into the engine's Model pytree."""
     import jax.numpy as jnp
@@ -186,6 +263,7 @@ def import_model(m, dtype=np.float32, filter_qpos=None) -> "T.Model":
     from gymnasium_robotics_tpu.physics import collision as _col
 
     pairs = _collision_pairs(m, geom_type)
+    pairs = _reachability_prune(m, pairs, geom_type, geom_size, filter_qpos)
     pairs = _filter_mesh_rest_penetrations(
         m, pairs, geom_type, geom_pos, geom_quat, geom_size, mesh_substituted,
         filter_qpos=filter_qpos,
