@@ -1,0 +1,252 @@
+"""Multi-agent MuJoCo: factorizes a single-agent locomotion env into K
+cooperating agents (re-design of gymnasium_robotics/envs/multiagent_mujoco/
+mujoco_multi.py:57-621 as a pure index-mapping layer over the batched core).
+
+Step semantics mirror the reference (:242-310): per-agent actions scatter into
+the global action vector via static act-id tables; the inner env steps once;
+the shared reward/termination/truncation are replicated to every agent; obs are
+per-agent k-hop gathers (obsk) executed as jnp programs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gymnasium_robotics_tpu import core
+from gymnasium_robotics_tpu.envs.locomotion import classic as C
+from gymnasium_robotics_tpu.envs.locomotion import locomotion as L
+from gymnasium_robotics_tpu.envs.mamujoco import obsk
+
+_SCENARIO_MAKERS = {
+    "HalfCheetah": L.make_half_cheetah,
+    "Ant": L.make_ant,
+    "Hopper": L.make_hopper,
+    "Walker2d": L.make_walker2d,
+    "Swimmer": L.make_swimmer,
+    "Reacher": C.make_reacher,
+    "Humanoid": C.make_humanoid,
+    "HumanoidStandup": C.make_humanoid_standup,
+    "Pusher": C.make_pusher,
+    "InvertedPendulum": C.make_inverted_pendulum,
+    "InvertedDoublePendulum": C.make_inverted_double_pendulum,
+}
+
+_EPISODE_STEPS = {
+    "HalfCheetah": 1000, "Ant": 1000, "Hopper": 1000, "Walker2d": 1000,
+    "Swimmer": 1000, "Reacher": 50, "Humanoid": 1000,
+    "HumanoidStandup": 1000, "Pusher": 100, "InvertedPendulum": 1000,
+    "InvertedDoublePendulum": 1000,
+}
+
+
+class MultiAgentMujocoEnv(core.FunctionalEnv):
+    """Functional multi-agent env: actions/obs are dicts keyed 'agent_0'...;
+    also exposed through a PettingZoo ParallelEnv adapter (see parallel_env)."""
+
+    def __init__(
+        self,
+        scenario: str,
+        agent_conf: Optional[str],
+        agent_obsk: Optional[int] = 1,
+        global_categories=None,
+        max_episode_steps=None,
+        dtype=jnp.float32,
+    ):
+        if scenario not in _SCENARIO_MAKERS:
+            raise NotImplementedError(f"Scenario {scenario} not available")
+        self.scenario = scenario
+        self.agent_conf = agent_conf
+        self.agent_obsk = agent_obsk
+        self.env = _SCENARIO_MAKERS[scenario](dtype=dtype)
+        self.dtype = dtype
+        self.max_episode_steps = (
+            max_episode_steps or _EPISODE_STEPS.get(scenario, 1000)
+        )
+
+        if agent_obsk is not None:
+            parts, edges, globals_, nodes = obsk.get_parts_and_edges(
+                scenario, agent_conf
+            )
+            self.agent_partitions = parts
+            self.k_dicts = [
+                obsk.get_joints_at_kdist(p, edges, agent_obsk, nodes)
+                for p in parts
+            ]
+            self.global_nodes = globals_
+            self.local_categories = obsk.local_categories_for(scenario, agent_obsk)
+            self.global_categories = (
+                global_categories
+                if global_categories is not None
+                else ("qpos", "qvel")
+            )
+            self.possible_agents = [f"agent_{i}" for i in range(len(parts))]
+        else:
+            self.agent_partitions = None
+            self.possible_agents = ["agent_0"]
+
+        import gymnasium.spaces as spaces
+
+        nu = self.env.model.nu
+        self._nu = nu
+        if self.agent_partitions is None:
+            self.action_spaces = {"agent_0": self.env.action_space}
+            self.observation_spaces = {"agent_0": self.env.observation_space}
+        else:
+            self.action_spaces = {}
+            self.observation_spaces = {}
+            probe = self._probe_obs()
+            for i, (agent, part) in enumerate(
+                zip(self.possible_agents, self.agent_partitions)
+            ):
+                na = len(part)
+                self.action_spaces[agent] = spaces.Box(
+                    -1.0, 1.0, shape=(na,), dtype=np.float32
+                )
+                self.observation_spaces[agent] = spaces.Box(
+                    -np.inf, np.inf, shape=probe[agent].shape, dtype=np.float64
+                )
+        self.action_space = self.action_spaces[self.possible_agents[0]]
+        self.observation_space = self.observation_spaces[self.possible_agents[0]]
+
+    def _probe_obs(self):
+        import jax
+
+        s = self.env.initial(jax.random.key(0))
+        return self._agent_obs(s.data)
+
+    def _agent_obs(self, data) -> Dict[str, jnp.ndarray]:
+        if self.agent_partitions is None:
+            return {"agent_0": self.env._get_obs(data)}
+        mt = self.env.model.meta
+        out = {}
+        for agent, k_dict in zip(self.possible_agents, self.k_dicts):
+            out[agent] = obsk.build_obs(
+                data, k_dict, self.local_categories, self.global_nodes,
+                self.global_categories, mt.nq, mt.nv, self.dtype,
+            )
+        return out
+
+    def map_local_actions_to_global_action(self, actions: Dict[str, jnp.ndarray]):
+        """Scatter per-agent actions into the global vector
+        (mujoco_multi.py:276-310; the double/missing-definition check is a
+        build-time assertion here since the tables are static)."""
+        if self.agent_partitions is None:
+            return actions[self.possible_agents[0]]
+        global_action = jnp.zeros(self._nu, self.dtype)
+        for agent, part in zip(self.possible_agents, self.agent_partitions):
+            ids = jnp.asarray([n.act_ids for n in part])
+            global_action = global_action.at[ids].set(
+                jnp.asarray(actions[agent], self.dtype)
+            )
+        return global_action
+
+    def map_global_action_to_local_actions(self, action):
+        """Inverse mapping (mujoco_multi.py:312-341)."""
+        if self.agent_partitions is None:
+            return {self.possible_agents[0]: action}
+        return {
+            agent: jnp.asarray(action)[jnp.asarray([n.act_ids for n in part])]
+            for agent, part in zip(self.possible_agents, self.agent_partitions)
+        }
+
+    # --- functional API: obs is the dict of per-agent observations ---
+    def initial(self, rng) -> core.EnvState:
+        state = self.env.initial(rng)
+        return dataclasses.replace(state, obs=self._agent_obs(state.data))
+
+    def reset(self, state, rng) -> core.EnvState:
+        state = self.env.reset(state, rng)
+        return dataclasses.replace(state, obs=self._agent_obs(state.data))
+
+    def step(self, state, actions: Dict[str, jnp.ndarray]) -> core.EnvState:
+        global_action = self.map_local_actions_to_global_action(actions)
+        state = self.env.step(state, global_action)
+        return dataclasses.replace(state, obs=self._agent_obs(state.data))
+
+
+class ParallelEnvAdapter:
+    """PettingZoo ParallelEnv-compatible wrapper (numpy IO, shared reward),
+    mirroring the reference exports (mujoco_multi.py:618-621)."""
+
+    metadata = {"render_modes": [], "name": "mamujoco_tpu"}
+
+    def __init__(self, env: MultiAgentMujocoEnv, render_mode=None):
+        self.env = env
+        self.possible_agents = list(env.possible_agents)
+        self.agents = []
+        self.render_mode = render_mode
+        self._step = jax.jit(env.step)
+        self._initial = jax.jit(env.initial)
+        self._state = None
+        self._steps = 0
+
+    def action_space(self, agent):
+        return self.env.action_spaces[agent]
+
+    def observation_space(self, agent):
+        return self.env.observation_spaces[agent]
+
+    def reset(self, seed=None, options=None):
+        seed = 0 if seed is None else seed
+        self._state = self._initial(jax.random.key(seed))
+        self.agents = list(self.possible_agents)
+        self._steps = 0
+        obs = {k: np.asarray(v) for k, v in self._state.obs.items()}
+        info = {a: {} for a in self.agents}
+        return obs, info
+
+    def step(self, actions):
+        self._state = self._step(
+            self._state, {k: jnp.asarray(v) for k, v in actions.items()}
+        )
+        self._steps += 1
+        s = self._state
+        obs = {k: np.asarray(v) for k, v in s.obs.items()}
+        term = bool(s.terminated)
+        trunc = self._steps >= self.env.max_episode_steps
+        rewards = {a: float(s.reward) for a in self.agents}
+        terms = {a: term for a in self.agents}
+        truncs = {a: trunc for a in self.agents}
+        infos = {a: {} for a in self.agents}
+        if term or trunc:
+            self.agents = []
+        return obs, rewards, terms, truncs, infos
+
+    def render(self):
+        return None
+
+    def close(self):
+        pass
+
+    @property
+    def unwrapped(self):
+        return self
+
+    def state(self):
+        return np.concatenate(
+            [np.asarray(self._state.data.qpos), np.asarray(self._state.data.qvel)]
+        )
+
+
+def parallel_env(scenario=None, agent_conf=None, agent_obsk=1, render_mode=None,
+                 **kwargs):
+    return ParallelEnvAdapter(
+        MultiAgentMujocoEnv(scenario, agent_conf, agent_obsk, **kwargs),
+        render_mode=render_mode,
+    )
+
+
+raw_parallel_env = parallel_env
+
+
+def env(**kwargs):
+    """AEC-wrapped variant (requires pettingzoo)."""
+    import pettingzoo.utils.conversions as conv
+
+    return conv.parallel_to_aec(parallel_env(**kwargs))

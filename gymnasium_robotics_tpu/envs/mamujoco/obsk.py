@@ -1,0 +1,299 @@
+"""Kinematic-graph factorization for multi-agent MuJoCo (the TPU-native
+re-design of gymnasium_robotics/envs/multiagent_mujoco/obsk.py).
+
+Nodes carry static qpos/qvel/act indices; hyperedges define joint adjacency;
+``get_joints_at_kdist`` is the same BFS (obsk.py:106-153) run at build time so
+each agent's observation becomes a STATIC gather program executed in jnp
+(vmap-compatible, per SURVEY.md §2.4 multi-agent row). ``extra_obs`` overrides
+are named transform tags instead of lambdas so they stay trace-safe.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class Node:
+    label: str
+    qpos_ids: Optional[int]
+    qvel_ids: Optional[int]
+    act_ids: Optional[int]
+    bodies: Tuple[int, ...] = ()
+    extra_obs: Tuple[Tuple[str, Tuple], ...] = ()  # (category, transform-spec)
+    body_clip: bool = False  # ant: clip body categories to [-1, 1]
+
+    def get_extra(self, category):
+        for cat, spec in self.extra_obs:
+            if cat == category:
+                return spec
+        return None
+
+
+@dataclasses.dataclass(frozen=True)
+class HyperEdge:
+    nodes: Tuple[str, ...]  # node labels
+
+
+def get_joints_at_kdist(
+    partition: Tuple[Node, ...], edges: List[HyperEdge], k: int,
+    all_nodes: Dict[str, Node],
+) -> Dict[int, List[Node]]:
+    """BFS over hyperedges (mirrors obsk.py:106-153)."""
+
+    def adjacent(labels):
+        out = set()
+        for e in edges:
+            if any(l in e.nodes for l in labels):
+                out |= set(e.nodes) - set(labels)
+        return out
+
+    seen = {n.label for n in partition}
+    k_dict = {0: sorted(seen)}
+    frontier = set(seen)
+    for depth in range(1, k + 1):
+        new = adjacent(frontier) - seen
+        k_dict[depth] = sorted(new)
+        seen |= new
+        frontier = frontier | new
+    return {
+        d: [all_nodes[l] for l in labels] for d, labels in k_dict.items()
+    }
+
+
+def _apply_transform(spec, data, dtype):
+    kind = spec[0]
+    if kind == "empty":
+        return jnp.zeros(0, dtype)
+    if kind == "clip_qvel":
+        idx, lo, hi = spec[1], spec[2], spec[3]
+        return jnp.clip(data.qvel[jnp.asarray(np.atleast_1d(idx))], lo, hi)
+    if kind == "qpos_slice":
+        return data.qpos[spec[1]:spec[2]]
+    if kind == "qvel_slice":
+        return data.qvel[spec[1]:spec[2]]
+    if kind == "sincos_qpos":
+        q = data.qpos[spec[1]]
+        return jnp.stack([jnp.sin(q), jnp.cos(q)])
+    if kind == "qvel_pair":
+        return jnp.stack([data.qvel[spec[1]], data.qvel[spec[2]]])
+    if kind == "body_dist":
+        return data.xpos[spec[1]] - data.xpos[spec[2]]
+    if kind == "ten_J_cols":
+        return data.ten_J[spec[1]][jnp.asarray(list(spec[2]))]
+    if kind == "ten_length":
+        return data.ten_length[spec[1]][None]
+    if kind == "ten_velocity":
+        return data.ten_velocity[spec[1]][None]
+    raise ValueError(f"unknown transform {kind}")
+
+
+def build_obs(
+    data, k_dict, local_categories, global_nodes, global_categories,
+    nq: int, nv: int, dtype=jnp.float32,
+):
+    """jnp version of obsk.build_obs (obsk.py:156-229): same category order,
+    body dedup per category, negative ids resolved against (nq, nv)."""
+    parts = []
+    body_seen: Dict[str, set] = {}
+
+    def emit(node, category):
+        spec = node.get_extra(category)
+        if spec is not None:
+            parts.append(jnp.atleast_1d(_apply_transform(spec, data, dtype)))
+            return
+        if category == "qvel":
+            parts.append(data.qvel[node.qvel_ids % nv][None])
+        elif category == "qpos":
+            parts.append(data.qpos[node.qpos_ids % nq][None])
+        elif category == "qfrc_actuator":
+            parts.append(data.qfrc_actuator[node.qvel_ids % nv][None])
+        elif category in ("cvel", "cinert", "cfrc_ext"):
+            seen = body_seen.setdefault(category, set())
+            for body in node.bodies:
+                if body in seen:
+                    continue
+                seen.add(body)
+                items = getattr(data, category)[body].reshape(-1)
+                if node.body_clip:
+                    items = jnp.clip(items, -1.0, 1.0)
+                parts.append(items)
+        elif category in ("ten_J", "ten_length", "ten_velocity"):
+            pass  # only via extra_obs specs
+        elif category == "fingertip_dist":
+            pass  # only via extra_obs specs
+
+    for k in sorted(k_dict.keys()):
+        for node in k_dict[k]:
+            for category in local_categories[k]:
+                emit(node, category)
+
+    body_seen.clear()
+    for category in global_categories:
+        for node in global_nodes:
+            emit(node, category)
+
+    return jnp.concatenate(parts) if parts else jnp.zeros(0, dtype)
+
+
+# ---------------------------------------------------------------------------
+# Scenario graphs (topologies mirror obsk.py:244-1059; negative qpos/qvel ids
+# index from the end exactly as the reference does)
+# ---------------------------------------------------------------------------
+
+def get_parts_and_edges(label: str, partitioning: Optional[str]):
+    if label == "HalfCheetah":
+        names = ["bthigh", "bshin", "bfoot", "fthigh", "fshin", "ffoot"]
+        nodes = {
+            n: Node(n, -6 + i, -6 + i, i) for i, n in enumerate(names)
+        }
+        edges = [
+            HyperEdge(("bfoot", "bshin")), HyperEdge(("bshin", "bthigh")),
+            HyperEdge(("bthigh", "fthigh")), HyperEdge(("fthigh", "fshin")),
+            HyperEdge(("fshin", "ffoot")),
+        ]
+        globals_ = [
+            Node("root_x", 0, 0, None, extra_obs=((("qpos", ("empty",))),)),
+            Node("root_z", 1, 1, None),
+            Node("root_y", 2, 2, None),
+        ]
+        parts = {
+            None: [tuple(names)],
+            "2x3": [("bthigh", "bshin", "bfoot"), ("fthigh", "fshin", "ffoot")],
+            "6x1": [(n,) for n in names],
+        }[partitioning]
+    elif label == "Ant":
+        torso, fll, aux1, ank1, frl, aux2, ank2, bl, aux3, ank3, brl, aux4, ank4 = \
+            1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13
+        spec = [
+            ("hip1", -8, 2, (torso, fll)), ("ankle1", -7, 3, (fll, aux1, ank1)),
+            ("hip2", -6, 4, (torso, frl)), ("ankle2", -5, 5, (frl, aux2, ank2)),
+            ("hip3", -4, 6, (torso, bl)), ("ankle3", -3, 7, (bl, aux3, ank3)),
+            ("hip4", -2, 0, (torso, brl)), ("ankle4", -1, 1, (brl, aux4, ank4)),
+        ]
+        nodes = {
+            n: Node(n, q, q, a, bodies=b, body_clip=True)
+            for n, q, a, b in spec
+        }
+        edges = [
+            HyperEdge(("ankle4", "hip4")), HyperEdge(("ankle1", "hip1")),
+            HyperEdge(("ankle2", "hip2")), HyperEdge(("ankle3", "hip3")),
+            HyperEdge(("hip4", "hip1", "hip2", "hip3")),
+        ]
+        globals_ = [
+            Node("root", 0, 0, None, extra_obs=(
+                ("qpos", ("qpos_slice", 2, 7)),
+                ("qvel", ("qvel_slice", 0, 6)),
+            )),
+        ]
+        parts = {
+            None: [tuple(n for n, *_ in spec)],
+            "2x4": [("hip1", "ankle1", "hip2", "ankle2"),
+                    ("hip3", "ankle3", "hip4", "ankle4")],
+            "2x4d": [("hip1", "ankle1", "hip4", "ankle4"),
+                     ("hip2", "ankle2", "hip3", "ankle3")],
+            "4x2": [("hip1", "ankle1"), ("hip2", "ankle2"),
+                    ("hip3", "ankle3"), ("hip4", "ankle4")],
+        }[partitioning]
+    elif label == "Hopper":
+        names = ["thigh_joint", "leg_joint", "foot_joint"]
+        nodes = {
+            n: Node(n, -3 + i, -3 + i, i,
+                    extra_obs=(("qvel", ("clip_qvel", -3 + i, -10, 10)),))
+            for i, n in enumerate(names)
+        }
+        edges = [HyperEdge(("foot_joint", "leg_joint")),
+                 HyperEdge(("leg_joint", "thigh_joint"))]
+        globals_ = [
+            Node("root_x", 0, 0, None, extra_obs=(
+                ("qpos", ("empty",)), ("qvel", ("clip_qvel", 0, -10, 10)))),
+            Node("root_z", 1, 1, None,
+                 extra_obs=(("qvel", ("clip_qvel", 1, -10, 10)),)),
+            Node("root_y", 2, 2, None,
+                 extra_obs=(("qvel", ("clip_qvel", 2, -10, 10)),)),
+        ]
+        parts = {
+            None: [tuple(names)],
+            "3x1": [(n,) for n in names],
+        }[partitioning]
+    elif label == "Walker2d":
+        names = ["thigh_joint", "leg_joint", "foot_joint",
+                 "thigh_left_joint", "leg_left_joint", "foot_left_joint"]
+        nodes = {n: Node(n, -6 + i, -6 + i, i) for i, n in enumerate(names)}
+        edges = [
+            HyperEdge(("foot_joint", "leg_joint")),
+            HyperEdge(("leg_joint", "thigh_joint")),
+            HyperEdge(("foot_left_joint", "leg_left_joint")),
+            HyperEdge(("leg_left_joint", "thigh_left_joint")),
+            HyperEdge(("thigh_joint", "thigh_left_joint")),
+        ]
+        globals_ = [
+            Node("root_x", 0, 0, None, extra_obs=(("qpos", ("empty",)),)),
+            Node("root_z", 1, 1, None),
+            Node("root_y", 2, 2, None),
+        ]
+        parts = {
+            None: [tuple(names)],
+            "2x3": [tuple(names[:3]), tuple(names[3:])],
+        }[partitioning]
+    elif label == "Swimmer":
+        nodes = {
+            "rot2": Node("rot2", -2, -2, 0,
+                         extra_obs=(("qvel", ("qvel_pair", 0, 3)),)),
+            "rot3": Node("rot3", -1, -1, 1,
+                         extra_obs=(("qvel", ("qvel_pair", 1, 4)),)),
+        }
+        edges = [HyperEdge(("rot2", "rot3"))]
+        globals_ = [Node("free_body_rot", 2, 2, None)]
+        parts = {
+            None: [("rot2", "rot3")],
+            "2x1": [("rot2",), ("rot3",)],
+        }[partitioning]
+    elif label == "Reacher":
+        nodes = {
+            "joint0": Node("joint0", -4, -4, 0, bodies=(1, 2),
+                           extra_obs=(("qpos", ("sincos_qpos", -4)),)),
+            "joint1": Node("joint1", -3, -3, 1, bodies=(2, 3),
+                           extra_obs=(
+                               ("fingertip_dist", ("body_dist", 3, 4)),
+                               ("qpos", ("sincos_qpos", -3)),
+                           )),
+        }
+        edges = [HyperEdge(("joint0", "joint1"))]
+        globals_ = [
+            Node("target_x", -2, -2, None, extra_obs=(("qvel", ("empty",)),)),
+            Node("target_y", -1, -1, None, extra_obs=(("qvel", ("empty",)),)),
+        ]
+        parts = {
+            None: [("joint0", "joint1")],
+            "2x1": [("joint0",), ("joint1",)],
+        }[partitioning]
+    else:
+        raise NotImplementedError(
+            f"Scenario {label!r} factorization not yet implemented in this "
+            "build (available: HalfCheetah, Ant, Hopper, Walker2d, Swimmer, "
+            "Reacher)."
+        )
+
+    partitions = [tuple(nodes[n] for n in p) for p in parts]
+    return partitions, edges, globals_, nodes
+
+
+def local_categories_for(scenario: str, agent_obsk: int):
+    """Default per-depth observation categories (mujoco_multi.py:581-615)."""
+    if scenario in ("Ant", "ManySegmentAnt"):
+        k_cat = [["qpos", "qvel", "cfrc_ext"], ["qpos"]]
+    elif scenario in ("Humanoid", "HumanoidStandup"):
+        k_cat = [["qpos", "qvel", "cinert", "cvel", "qfrc_actuator", "cfrc_ext"],
+                 ["qpos"]]
+    elif scenario == "CoupledHalfCheetah":
+        k_cat = [["qpos", "qvel", "ten_J", "ten_length", "ten_velocity"], ["qpos"]]
+    elif scenario == "Reacher":
+        k_cat = [["qpos", "qvel", "fingertip_dist"], ["qpos"]]
+    else:
+        k_cat = [["qpos", "qvel"], ["qpos"]]
+    return [k_cat[k if k < len(k_cat) else -1] for k in range(agent_obsk + 1)]
