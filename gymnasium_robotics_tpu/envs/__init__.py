@@ -21,6 +21,7 @@ def register_all():
     _register_hand()
     _register_adroit()
     _register_kitchen()
+    _register_locomotion()
 
 
 def _register_point_maze():
@@ -68,7 +69,7 @@ def _register_ant_maze():
         "Large_Diverse_G": (maps.LARGE_MAZE_DIVERSE_G, 1000),
         "Large_Diverse_GR": (maps.LARGE_MAZE_DIVERSE_GR, 1000),
     }
-    for ver in ("v4", "v5"):
+    for ver in ("v3", "v4", "v5"):
         for name, (mmap, steps) in maze_set.items():
             for suffix, reward_type in (("", "sparse"), ("Dense", "dense")):
                 register(
@@ -92,12 +93,50 @@ def _register_fetch():
         "FetchSlide": FetchSlideEnv,
         "FetchPickAndPlace": FetchPickAndPlaceEnv,
     }.items():
-        for suffix, reward_type in (("", "sparse"), ("Dense", "dense")):
+        # v1 is the reference's mujoco_py-binding twin of v4
+        # (gymnasium_robotics/__init__.py:19-96); one implementation here
+        for ver in ("v1", "v4"):
+            for suffix, reward_type in (("", "sparse"), ("Dense", "dense")):
+                register(
+                    id=f"{name}{suffix}-{ver}",
+                    entry_point=cls,
+                    max_episode_steps=50,
+                    kwargs={"reward_type": reward_type},
+                )
+
+
+def _register_locomotion():
+    """Single-agent locomotion IDs: the MaMuJoCo base scenarios plus the
+    legacy v2/v3 re-registrations (reference gymnasium_robotics/__init__.py:
+    1123-1261; implemented with v5 semantics on the batched core — the
+    deprecated mujoco_py bitwise behavior is explicitly out of scope,
+    SURVEY.md §7 step 7)."""
+    try:
+        from gymnasium_robotics_tpu.envs.locomotion import classic as C
+        from gymnasium_robotics_tpu.envs.locomotion import locomotion as L
+    except ImportError:
+        return
+
+    makers = {
+        "Ant": (L.make_ant, 1000),
+        "HalfCheetah": (L.make_half_cheetah, 1000),
+        "Hopper": (L.make_hopper, 1000),
+        "Walker2d": (L.make_walker2d, 1000),
+        "Swimmer": (L.make_swimmer, 1000),
+        "Humanoid": (C.make_humanoid, 1000),
+        "HumanoidStandup": (C.make_humanoid_standup, 1000),
+        "InvertedPendulum": (C.make_inverted_pendulum, 1000),
+        "InvertedDoublePendulum": (C.make_inverted_double_pendulum, 1000),
+        "Reacher": (C.make_reacher, 50),
+        "Pusher": (C.make_pusher, 100),
+    }
+    for name, (maker, steps) in makers.items():
+        for ver in ("v2", "v3", "v5"):
             register(
-                id=f"{name}{suffix}-v4",
-                entry_point=cls,
-                max_episode_steps=50,
-                kwargs={"reward_type": reward_type},
+                id=f"{name}-{ver}",
+                entry_point=maker,
+                max_episode_steps=steps,
+                kwargs={},
             )
 
 

@@ -1,0 +1,57 @@
+"""Multi-host scale-out helpers (SURVEY.md §2.4 / §5: the communication layer
+is jax.distributed + sharding specs + XLA collectives riding ICI/DCN — no
+hand-written transport).
+
+The env batch is the only distributed axis (physics state is a pytree sharded
+along it); trajectory egress and metric reductions are the only collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None):
+    """Initialize multi-host JAX (no-op on a single process)."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def global_mesh(axis: str = "env"):
+    """Mesh over every chip of every host (env-batch data parallelism)."""
+    from jax.sharding import Mesh
+
+    return Mesh(np.array(jax.devices()), (axis,))
+
+
+def psum_metrics(tree, mesh, axis: str = "env"):
+    """Mean-reduce a metrics pytree across the mesh (compiles to an XLA
+    psum over ICI/DCN)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    @jax.jit
+    def _reduce(t):
+        return jax.tree_util.tree_map(lambda x: jnp.mean(x), t)
+
+    return jax.device_get(_reduce(tree))
+
+
+def gather_trajectory(traj, mesh, axis: str = "env"):
+    """Trajectory egress: resolve a sharded rollout pytree to the host
+    (all-gather of env-batch shards; the learner-side ingestion point)."""
+    from jax.experimental import multihost_utils
+
+    if jax.process_count() > 1:
+        return multihost_utils.process_allgather(traj)
+    return jax.device_get(traj)

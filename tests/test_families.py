@@ -1,0 +1,139 @@
+"""Per-family functional tests (the registry-wide strategy of the reference's
+tests/test_envs.py applied to one representative per family; heavier physics
+parity lives in test_physics_parity.py and the dev calibration harness)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gymnasium_robotics_tpu import registry
+
+FAMILY_REPS = [
+    ("PointMaze_UMaze-v3", (2,)),
+    ("AntMaze_UMaze-v5", (8,)),
+    ("FetchReach-v4", (4,)),
+    ("FetchPush-v4", (4,)),
+    ("HandReach-v3", (20,)),
+    ("AdroitHandDoor-v1", (28,)),
+    ("HalfCheetah-v5", (6,)),
+    ("Ant-v5", (8,)),
+]
+
+
+@pytest.mark.parametrize("env_id,act_shape", FAMILY_REPS)
+def test_family_reset_step(env_id, act_shape):
+    env = registry.make(env_id, num_envs=2)
+    obs, info = env.reset(seed=0)
+    actions = np.random.default_rng(0).uniform(-1, 1, (2,) + act_shape)
+    actions = actions.astype(np.float32)
+    for _ in range(2):
+        obs, reward, term, trunc, info = env.step(actions)
+    flat = jax.tree_util.tree_leaves(obs)
+    assert all(np.isfinite(np.asarray(x)).all() for x in flat)
+    assert np.isfinite(np.asarray(reward)).all()
+
+
+def test_goalenv_families_dict_obs():
+    for env_id in ["FetchPush-v4", "AntMaze_UMaze-v5", "HandReach-v3"]:
+        env = registry.make(env_id, num_envs=2)
+        obs, _ = env.reset(seed=0)
+        assert set(obs) >= {"observation", "achieved_goal", "desired_goal"}
+        r = env.compute_reward(obs["achieved_goal"], obs["desired_goal"])
+        assert np.asarray(r).shape == (2,)
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists("/root/reference"),
+    reason="reference checkout not mounted",
+)
+def test_fetch_reach_tracks_reference():
+    """Same initial state + same actions => the reference MuJoCo rollout and
+    this engine agree to mm-level over 10 env steps (200 substeps)."""
+    import dataclasses
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    gym = pytest.importorskip("gymnasium")
+    try:
+        import gymnasium_robotics
+
+        gym.register_envs(gymnasium_robotics)
+        ref = gym.make("FetchReach-v4").unwrapped
+    except Exception as e:
+        pytest.skip(f"reference env unavailable: {e}")
+    ref.reset(seed=0)
+    env = registry.make("FetchReach-v4")
+    s = env.initial(jax.random.key(0))
+    d = dataclasses.replace(
+        s.data,
+        qpos=jnp.asarray(ref.data.qpos.copy(), jnp.float32),
+        qvel=jnp.asarray(ref.data.qvel.copy(), jnp.float32),
+        mocap_pos=jnp.asarray(ref.data.mocap_pos.copy(), jnp.float32),
+        mocap_quat=jnp.asarray(ref.data.mocap_quat.copy(), jnp.float32),
+    )
+    from gymnasium_robotics_tpu.physics import smooth
+
+    d = smooth.kinematics(env.model, d)
+    d = smooth.com_pos(env.model, d)
+    s = dataclasses.replace(s, data=d)
+    step = jax.jit(env.step)
+    rng = np.random.default_rng(3)
+    for _ in range(10):
+        a = rng.uniform(-1, 1, 4).astype(np.float32)
+        robs, *_ = ref.step(a)
+        s = step(s, jnp.asarray(a))
+    err = np.max(np.abs(np.asarray(s.obs["observation"]) - robs["observation"]))
+    assert err < 5e-3, f"fetch reach obs drift {err}"
+
+
+def test_mamujoco_parallel_api():
+    from gymnasium_robotics_tpu import mamujoco_v1
+
+    penv = mamujoco_v1.parallel_env(
+        scenario="HalfCheetah", agent_conf="2x3", agent_obsk=1
+    )
+    obs, info = penv.reset(seed=42)
+    assert set(obs) == {"agent_0", "agent_1"}
+    for _ in range(3):
+        acts = {a: penv.action_space(a).sample() for a in penv.agents}
+        obs, rew, term, trunc, infos = penv.step(acts)
+    assert obs["agent_0"].shape == (12,)
+    # shared-reward contract (mujoco_multi.py:263-269)
+    assert rew["agent_0"] == rew["agent_1"]
+    # global <-> local action mapping round trip (mujoco_multi.py:343-405)
+    genv = penv.env
+    ga = np.arange(6, dtype=np.float32)
+    la = genv.map_global_action_to_local_actions(ga)
+    ga2 = genv.map_local_actions_to_global_action(la)
+    np.testing.assert_allclose(np.asarray(ga2), ga)
+
+
+def test_locomotion_matches_gymnasium():
+    """Obs/reward parity vs gymnasium's C-engine envs at a synced state."""
+    import dataclasses
+
+    gym = pytest.importorskip("gymnasium")
+    genv = gym.make("HalfCheetah-v5").unwrapped
+    genv.reset(seed=0)
+    env = registry.make("HalfCheetah-v5", dtype=jnp.float64)
+    rng = np.random.default_rng(0)
+    qpos = genv.init_qpos + rng.uniform(-0.05, 0.05, genv.model.nq)
+    qvel = rng.uniform(-0.1, 0.1, genv.model.nv)
+    genv.set_state(qpos, qvel)
+    s = env.initial(jax.random.key(0))
+    from gymnasium_robotics_tpu.physics import smooth
+
+    d = dataclasses.replace(
+        s.data, qpos=jnp.asarray(qpos), qvel=jnp.asarray(qvel)
+    )
+    d = smooth.kinematics(env.model, d)
+    s = dataclasses.replace(s, data=d)
+    step = jax.jit(env.step)
+    for _ in range(5):
+        a = rng.uniform(-0.4, 0.4, genv.action_space.shape)
+        gobs, grew, *_ = genv.step(a)
+        s = step(s, jnp.asarray(a))
+    assert np.max(np.abs(np.asarray(s.obs) - gobs)) < 1e-6
+    assert abs(float(s.reward) - grew) < 1e-6
