@@ -28,8 +28,15 @@ from gymnasium_robotics_tpu.physics import pipeline, smooth
 def build_ant_maze_model(maze_map, size_scaling=4.0, height=0.5, dtype=np.float32):
     """Inject maze wall geoms + target site into the gymnasium ant MJCF
     (host-side model-build step; the reference writes a temp XML per env,
-    maze_v4.py:149-244 — here it feeds the compiler once)."""
+    maze_v4.py:149-244 — here it feeds the compiler once). Registry maps load
+    from packaged precompiled artifacts."""
+    from gymnasium_robotics_tpu.mjcf import serialize
+
     spec = maze_core.analyze_maze(maze_map, size_scaling, height)
+    key = maze_core.maze_asset_key("ant_maze", maze_map, size_scaling, height)
+    if os.path.exists(serialize.asset_path(key)):
+        model, _ = serialize.load_model(serialize.asset_path(key), dtype=dtype)
+        return model, spec
     tree = ET.parse(L.gym_asset("ant.xml"))
     worldbody = tree.find(".//worldbody")
     for i in range(spec.map_length):
@@ -53,7 +60,9 @@ def build_ant_maze_model(maze_map, size_scaling=4.0, height=0.5, dtype=np.float3
     xml = ET.tostring(tree.getroot(), encoding="unicode")
     from gymnasium_robotics_tpu.mjcf.import_mjcf import import_xml_string
 
-    return import_xml_string(xml, dtype=dtype), spec
+    model = import_xml_string(xml, dtype=dtype)
+    serialize.save_model(model, serialize.asset_path(key))
+    return model, spec
 
 
 class AntMazeEnv(core.GoalEnv):

@@ -140,14 +140,37 @@ POINT_MAZE_XML = """
 """
 
 
+def maze_asset_key(prefix: str, maze_map, size_scaling, height) -> str:
+    import hashlib
+    import json
+
+    h = hashlib.sha1(
+        json.dumps([maze_map, size_scaling, height]).encode()
+    ).hexdigest()[:12]
+    return f"{prefix}/{h}"
+
+
 def build_point_maze_model(maze_map, size_scaling=1.0, height=0.4, dtype=np.float32):
-    from gymnasium_robotics_tpu.mjcf.import_mjcf import import_xml_string
+    """Compiled maze model: loads the packaged artifact when present (all
+    registry maps ship precompiled); falls back to compiling the generated
+    MJCF via the mujoco frontend for custom maze_map kwargs."""
+    from gymnasium_robotics_tpu.mjcf import serialize
 
     spec = analyze_maze(maze_map, size_scaling, height)
+    key = maze_asset_key("point_maze", maze_map, size_scaling, height)
+    import os
+
+    if os.path.exists(serialize.asset_path(key)):
+        model, _ = serialize.load_model(serialize.asset_path(key), dtype=dtype)
+        return model, spec
+
+    from gymnasium_robotics_tpu.mjcf.import_mjcf import import_xml_string
+
     xml = POINT_MAZE_XML.format(
         walls=wall_geoms_xml(maze_map, size_scaling, height),
         site_z=height / 2 * size_scaling,
         site_size=0.2 * size_scaling,
     )
     model = import_xml_string(xml, dtype=dtype)
+    serialize.save_model(model, serialize.asset_path(key))
     return model, spec
