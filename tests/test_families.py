@@ -88,6 +88,53 @@ def test_fetch_reach_tracks_reference():
     assert err < 5e-3, f"fetch reach obs drift {err}"
 
 
+@pytest.mark.skipif(
+    not __import__("os").path.exists("/root/reference"),
+    reason="reference checkout not mounted",
+)
+def test_hand_manipulate_tracks_reference():
+    """Hand joints track the reference over 10 env steps (200 substeps) and
+    the block stays on the palm at the reference's position (mm-level). Exact
+    contact details differ (mesh-box approximation), so the bound is loose."""
+    import dataclasses
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    gym = pytest.importorskip("gymnasium")
+    try:
+        import gymnasium_robotics
+
+        gym.register_envs(gymnasium_robotics)
+        ref = gym.make("HandManipulateBlockRotateZ-v1").unwrapped
+    except Exception as e:
+        pytest.skip(f"reference env unavailable: {e}")
+    ref.reset(seed=0)
+    env = registry.make("HandManipulateBlockRotateZ-v1")
+    s = env.initial(jax.random.key(0))
+    d = dataclasses.replace(
+        s.data,
+        qpos=jnp.asarray(ref.data.qpos.copy(), jnp.float32),
+        qvel=jnp.asarray(ref.data.qvel.copy(), jnp.float32),
+    )
+    from gymnasium_robotics_tpu.physics import smooth
+
+    d = smooth.kinematics(env.model, d)
+    d = smooth.com_pos(env.model, d)
+    s = dataclasses.replace(s, data=d, goal=jnp.asarray(ref.goal, jnp.float32))
+    step = jax.jit(env.step)
+    rng = np.random.default_rng(5)
+    for _ in range(10):
+        a = rng.uniform(-0.3, 0.3, 20).astype(np.float32)
+        robs, *_ = ref.step(a)
+        s = step(s, jnp.asarray(a))
+    qerr = np.max(np.abs(np.asarray(s.data.qpos[:24]) - ref.data.qpos[:24]))
+    obj_err = np.max(
+        np.abs(np.asarray(s.obs["achieved_goal"][:3]) - robs["achieved_goal"][:3])
+    )
+    assert qerr < 0.06, f"hand qpos drift {qerr}"
+    assert obj_err < 0.02, f"object position drift {obj_err}"
+
+
 def test_mamujoco_parallel_api():
     from gymnasium_robotics_tpu import mamujoco_v1
 
