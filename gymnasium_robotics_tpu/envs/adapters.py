@@ -51,7 +51,8 @@ class GymAdapter(gym.Env if gym else object):
         if options:
             env_reset = getattr(self.env, "initial_with_options", None)
             if env_reset is not None:
-                self._state = jax.jit(env_reset, static_argnames=())(
+                # options are static (cell indices etc.) -> run untraced
+                self._state = env_reset(
                     jax.random.key(seed), _freeze_options(options)
                 )
             else:

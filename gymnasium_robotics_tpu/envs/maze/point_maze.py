@@ -119,6 +119,24 @@ class PointMazeEnv(core.GoalEnv):
         )
         return self.reset(state, rng)
 
+    def initial_with_options(self, rng, options) -> core.EnvState:
+        """Reset with explicit goal_cell / reset_cell (i, j) options
+        (reference maze_v4.py:299-358)."""
+        state = self.initial(rng)
+        rng, r1, r2 = jax.random.split(state.rng, 3)
+        goal = state.goal
+        if options.get("goal_cell") is not None:
+            cell = self.maze.cell_rowcol_to_xy(options["goal_cell"])
+            goal = self._add_noise(r1, jnp.asarray(cell, self.dtype))
+        data = state.data
+        if options.get("reset_cell") is not None:
+            cell = self.maze.cell_rowcol_to_xy(options["reset_cell"])
+            pos = self._add_noise(r2, jnp.asarray(cell, self.dtype))
+            qpos = data.qpos.at[:2].set(pos)
+            data = dataclasses.replace(data, qpos=qpos)
+        obs = self._get_obs(data, goal)
+        return dataclasses.replace(state, data=data, goal=goal, obs=obs, rng=rng)
+
     def reset(self, state: core.EnvState, rng) -> core.EnvState:
         rng, r_goal, r_reset = jax.random.split(rng, 3)
         goal = self._sample_goal(r_goal)

@@ -184,3 +184,19 @@ def test_locomotion_matches_gymnasium():
         s = step(s, jnp.asarray(a))
     assert np.max(np.abs(np.asarray(s.obs) - gobs)) < 1e-6
     assert abs(float(s.reward) - grew) < 1e-6
+
+
+def test_point_maze_reset_cell_options():
+    """goal_cell/reset_cell options land within the noise bound of the cell
+    center (mirrors the reference maze options test,
+    tests/envs/maze/test_point_maze.py:9-45)."""
+    env = registry.make("PointMaze_UMaze-v3")
+    adapter_env = registry.make_gym("PointMaze_UMaze-v3")
+    obs, info = adapter_env.reset(
+        seed=7, options={"goal_cell": (3, 1), "reset_cell": (1, 1)}
+    )
+    goal_xy = env.maze.cell_rowcol_to_xy((3, 1))
+    reset_xy = env.maze.cell_rowcol_to_xy((1, 1))
+    noise = 0.25 * env.maze.size_scaling + 1e-6
+    assert np.all(np.abs(obs["desired_goal"] - goal_xy) <= noise)
+    assert np.all(np.abs(obs["achieved_goal"] - reset_xy) <= noise)
