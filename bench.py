@@ -20,10 +20,10 @@ import time
 # (env_id, num_envs, rollout_steps, control_hz)
 BENCHES = [
     ("PointMaze_UMaze-v3", 8192, 200, 100.0),
-    ("FetchPush-v4", 4096, 50, 25.0),
-    ("HandManipulateBlockRotateXYZ-v1", 2048, 50, 25.0),
-    ("AntMaze_UMaze-v5", 2048, 100, 20.0),
-    ("HalfCheetah-v5", 4096, 100, 20.0),
+    ("FetchPush-v4", 8192, 20, 25.0),
+    ("HandManipulateBlockRotateXYZ-v1", 4096, 20, 25.0),
+    ("AntMaze_UMaze-v5", 4096, 50, 20.0),
+    ("HalfCheetah-v5", 8192, 100, 20.0),
 ]
 
 _CHILD = r"""

@@ -41,6 +41,10 @@ class PointMazeEnv(core.GoalEnv):
             maze_map, size_scaling=1.0, height=0.4,
             dtype=np.float64 if dtype == jnp.float64 else np.float32,
         )
+        # 2-dof ball with at most a handful of wall contacts: the Newton
+        # solve converges in a few iterations; fewer sequential tiny kernels
+        # per substep is the dominant TPU win for this family
+        self.model = self.model.with_options(iterations=6, ls_iterations=4)
         self.reward_type = reward_type
         self.continuing_task = continuing_task
         self.reset_target = reset_target

@@ -466,7 +466,8 @@ def solve_constraints(m: T.Model, d: T.Data) -> T.Data:
             ddphi = pMp + jnp.sum(Dw * Jp * Jp)
             return alpha - dphi / jnp.maximum(ddphi, 1e-12)
 
-        alpha = jax.lax.fori_loop(0, 8, body, jnp.ones((), dtype))
+        n_ls = min(mt.opt.ls_iterations, 8)
+        alpha = jax.lax.fori_loop(0, n_ls, body, jnp.ones((), dtype))
         return jnp.clip(alpha, 0.0, 4.0)
 
     def iteration(_, a):
