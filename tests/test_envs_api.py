@@ -109,3 +109,16 @@ def test_timelimit_autoreset():
 def test_registry_ids_registered():
     ids = registry.ids()
     assert len([i for i in ids if i.startswith("PointMaze")]) == 20
+
+
+def test_sharded_rollout_cpu_mesh():
+    """Scan rollout with the env batch sharded over the 8-device CPU mesh
+    (the framework's DP axis; SURVEY.md §2.4)."""
+    from gymnasium_robotics_tpu.parallel import rollout as R
+
+    mesh = R.make_mesh(8)
+    sharding = R.env_sharding(mesh)
+    env = registry.make("PointMaze_UMaze-v3")
+    state, traj = R.rollout(env, num_envs=64, num_steps=10, sharding=sharding)
+    assert traj["reward"].shape == (10, 64)
+    assert np.isfinite(np.asarray(traj["obs"]["observation"])).all()
