@@ -52,12 +52,12 @@ print("RESULT " + json.dumps({"sps": sps}))
 """
 
 
-def bench_family(env_id, num_envs, steps, timeout_s=1200):
-    # steploop first: it compiles ~5x faster through the remote-compile
-    # service and measures the same steady-state throughput; scan mode is the
-    # fallback. After any timeout, wait for the device grant to recycle
-    # (see CLAUDE.md TPU operational rules).
-    for mode in ("steploop", "scan"):
+def bench_family(env_id, num_envs, steps, timeout_s=2100):
+    # steploop only: identical steady-state throughput to the scan mode on
+    # this stack, compiles faster through the remote-compile service, and
+    # avoids the large-scan-body device fault (CLAUDE.md). After a timeout,
+    # wait for the device grant to recycle before the next family.
+    for mode in ("steploop",):
         try:
             out = subprocess.run(
                 [sys.executable, "-c", _CHILD, env_id, str(num_envs), str(steps), mode],
@@ -75,7 +75,7 @@ def bench_family(env_id, num_envs, steps, timeout_s=1200):
 def main():
     platform = "tpu" if os.environ.get("JAX_PLATFORMS", "") not in ("cpu",) else "cpu"
     cpu = platform == "cpu"
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", 2400))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 5400))
     start = time.perf_counter()
     detail = {}
     headline = None
