@@ -467,7 +467,9 @@ def solve_constraints(m: T.Model, d: T.Data) -> T.Data:
             return alpha - dphi / jnp.maximum(ddphi, 1e-12)
 
         n_ls = min(mt.opt.ls_iterations, 8)
-        alpha = jax.lax.fori_loop(0, n_ls, body, jnp.ones((), dtype))
+        alpha = jax.lax.fori_loop(
+            0, n_ls, body, jnp.ones((), dtype), unroll=True
+        )
         return jnp.clip(alpha, 0.0, 4.0)
 
     def iteration(_, a):
@@ -476,7 +478,9 @@ def solve_constraints(m: T.Model, d: T.Data) -> T.Data:
         return a + alpha * p
 
     n_iter = min(mt.opt.iterations, 20)
-    a = jax.lax.fori_loop(0, n_iter, iteration, a_smooth)
+    # unroll=2: halves loop-iteration launch overhead; the solver is
+    # launch-latency bound at typical (nv, nefc) sizes
+    a = jax.lax.fori_loop(0, n_iter, iteration, a_smooth, unroll=2)
 
     x = x_of(a)
     aset = active_set(x) & active
