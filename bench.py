@@ -29,7 +29,7 @@ BENCHES = [
 _CHILD = r"""
 import json, sys, time
 import jax
-jax.config.update("jax_compilation_cache_dir", "/tmp/grt_jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 env_id, num_envs, steps, mode = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
 from gymnasium_robotics_tpu import registry

@@ -14,5 +14,5 @@ jax.config.update("jax_enable_x64", True)  # physics parity tests compare in f64
 
 # persistent compilation cache: recompiles across test runs are the dominant
 # cost for the bigger models
-jax.config.update("jax_compilation_cache_dir", "/tmp/grt_jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
