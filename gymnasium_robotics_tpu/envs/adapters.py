@@ -26,6 +26,17 @@ def _to_np(x):
     return jax.tree_util.tree_map(lambda a: np.asarray(a), x)
 
 
+def _cast_to_space(obs, space):
+    """Cast device obs (f32) to the declared observation-space dtypes."""
+    if gym is None:
+        return _to_np(obs)
+    import gymnasium.spaces as spaces
+
+    if isinstance(space, spaces.Dict):
+        return {k: _cast_to_space(obs[k], space[k]) for k in space.spaces}
+    return np.asarray(obs, dtype=space.dtype)
+
+
 class GymAdapter(gym.Env if gym else object):
     metadata = {"render_modes": [], "render_fps": 25}
 
@@ -59,13 +70,16 @@ class GymAdapter(gym.Env if gym else object):
                 self._state = self._initial(jax.random.key(seed))
         else:
             self._state = self._initial(jax.random.key(seed))
-        return _to_np(self._state.obs), _to_np(self._state.info)
+        return (
+            _cast_to_space(self._state.obs, self.observation_space),
+            _to_np(self._state.info),
+        )
 
     def step(self, action):
         self._state = self._step(self._state, jnp.asarray(action))
         s = self._state
         return (
-            _to_np(s.obs),
+            _cast_to_space(s.obs, self.observation_space),
             float(s.reward),
             bool(s.terminated),
             bool(s.truncated),

@@ -122,3 +122,18 @@ def test_sharded_rollout_cpu_mesh():
     state, traj = R.rollout(env, num_envs=64, num_steps=10, sharding=sharding)
     assert traj["reward"].shape == (10, 64)
     assert np.isfinite(np.asarray(traj["obs"]["observation"])).all()
+
+
+@pytest.mark.parametrize("env_id", ["PointMaze_UMaze-v3", "HalfCheetah-v5"])
+def test_gymnasium_check_env(env_id):
+    """Full Gymnasium conformance through the adapter (the reference's
+    registry-wide check, tests/test_envs.py:39-53)."""
+    import warnings
+
+    gym = pytest.importorskip("gymnasium")
+    from gymnasium.utils.env_checker import check_env
+
+    env = registry.make_gym(env_id)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        check_env(env, skip_render_check=True)
