@@ -137,3 +137,19 @@ def test_gymnasium_check_env(env_id):
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
         check_env(env, skip_render_check=True)
+
+
+def test_her_relabel_on_device():
+    """HER relabeling over a collected rollout, fully on device."""
+    from gymnasium_robotics_tpu.parallel import her, rollout as R
+
+    env = registry.make("PointMaze_UMazeDense-v3")
+    state, traj = R.rollout(env, num_envs=8, num_steps=20)
+    new_obs, new_rew = her.relabel(
+        traj["obs"], traj["reward"], jax.random.key(0),
+        compute_reward=env.compute_reward, strategy="final",
+    )
+    assert new_rew.shape == (20, 8)
+    # final-strategy: the last step's relabeled reward equals the reward of
+    # achieving one's own goal (dense exp(-0) == 1)
+    np.testing.assert_allclose(np.asarray(new_rew[-1]), 1.0, atol=1e-5)
