@@ -365,7 +365,7 @@ def transmission(m: T.Model, d: T.Data) -> tuple:
                     row = row.at[dadr + k].set(g)
         elif trn == TRN_TENDON:
             length = d.ten_length[tid] * gear[0]
-            row = ten_row = d.ten_J[tid] * gear[0]
+            row = d.ten_J[tid] * gear[0]
         else:
             length = jnp.zeros((), dtype)
         lengths.append(length)
