@@ -68,7 +68,9 @@ class FetchEnv(core.GoalEnv):
         self.dtype = dtype
         npdtype = np.float64 if dtype == jnp.float64 else np.float32
         self.model, extra = serialize.load_asset(f"fetch/{self.task}", dtype=npdtype)
-        self.model = self.model.with_options(contact_cap=24)
+        self.model = self.model.with_options(
+            contact_cap=24, iterations=8, ls_iterations=4
+        )
         self._init_qpos = jnp.asarray(extra["initial_qpos"], dtype)
         self._init_qvel = jnp.asarray(extra["initial_qvel"], dtype)
         self._init_mocap_pos = jnp.asarray(extra["initial_mocap_pos"], dtype)

@@ -86,7 +86,9 @@ class AntMazeEnv(core.GoalEnv):
             maze_map, size_scaling=4.0, height=0.5, dtype=npdtype
         )
         # large static wall x leg pair table; at most ~16 simultaneous contacts
-        self.model = self.model.with_options(contact_cap=16)
+        self.model = self.model.with_options(
+            contact_cap=16, iterations=8, ls_iterations=4
+        )
         # inner ant config (ant_maze_v5.py:244-253)
         self.cfg = L.LocoConfig(
             xml="", frame_skip=5, ctrl_cost_weight=0.5,
