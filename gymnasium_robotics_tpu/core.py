@@ -111,7 +111,6 @@ def auto_reset(env: FunctionalEnv, state: EnvState, action) -> EnvState:
     fresh = env.reset(dataclasses.replace(stepped, rng=rng), reset_rng)
 
     def pick(a, b):
-        done_b = jnp.reshape(done, (done.shape[0],) if done.ndim else ())
         return jax.tree_util.tree_map(
             lambda x, y: jnp.where(
                 jnp.reshape(done, done.shape + (1,) * (x.ndim - done.ndim)), x, y
