@@ -58,12 +58,21 @@ class MultiAgentMujocoEnv(core.FunctionalEnv):
         max_episode_steps=None,
         dtype=jnp.float32,
     ):
-        if scenario not in _SCENARIO_MAKERS:
-            raise NotImplementedError(f"Scenario {scenario} not available")
         self.scenario = scenario
         self.agent_conf = agent_conf
         self.agent_obsk = agent_obsk
-        self.env = _SCENARIO_MAKERS[scenario](dtype=dtype)
+        if scenario in ("ManySegmentSwimmer", "ManySegmentAnt"):
+            from gymnasium_robotics_tpu.envs.mamujoco import many_segment
+
+            n_agents, n_per = (int(x) for x in agent_conf.split("x"))
+            kind = "swimmer" if scenario == "ManySegmentSwimmer" else "ant"
+            self.env = many_segment.make_many_segment(
+                kind, n_agents * n_per, dtype=dtype
+            )
+        elif scenario in _SCENARIO_MAKERS:
+            self.env = _SCENARIO_MAKERS[scenario](dtype=dtype)
+        else:
+            raise NotImplementedError(f"Scenario {scenario} not available")
         self.dtype = dtype
         self.max_episode_steps = (
             max_episode_steps or _EPISODE_STEPS.get(scenario, 1000)

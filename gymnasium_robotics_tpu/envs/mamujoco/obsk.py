@@ -83,6 +83,8 @@ def _apply_transform(spec, data, dtype):
         return jnp.stack([data.qvel[spec[1]], data.qvel[spec[2]]])
     if kind == "body_dist":
         return data.xpos[spec[1]] - data.xpos[spec[2]]
+    if kind == "body_xpos":
+        return data.xpos[spec[1]]
     if kind == "ten_J_cols":
         return data.ten_J[spec[1]][jnp.asarray(list(spec[2]))]
     if kind == "ten_length":
@@ -272,11 +274,132 @@ def get_parts_and_edges(label: str, partitioning: Optional[str]):
             None: [("joint0", "joint1")],
             "2x1": [("joint0",), ("joint1",)],
         }[partitioning]
+    elif label in ("Humanoid", "HumanoidStandup"):
+        # bodies (obsk.py:467-604)
+        torso, lwaist, pelvis = 1, 2, 3
+        rthigh, rsin, rfoot = 4, 5, 6
+        lthigh, lsin, lfoot = 7, 8, 9
+        ruarm, rlarm, luarm, llarm = 10, 11, 12, 13
+        spec = [
+            ("abdomen_y", -17, 0, (torso, lwaist, pelvis)),
+            ("abdomen_z", -16, 1, (torso, lwaist, pelvis)),
+            ("abdomen_x", -15, 2, (pelvis, rthigh, lthigh)),
+            ("right_hip_x", -14, 3, (rthigh, rsin)),
+            ("right_hip_z", -13, 4, (rthigh, rsin)),
+            ("right_hip_y", -12, 5, (rthigh, rsin)),
+            ("right_knee", -11, 6, (rsin, rfoot)),
+            ("left_hip_x", -10, 7, (lthigh, lsin)),
+            ("left_hip_z", -9, 8, (lthigh, lsin)),
+            ("left_hip_y", -8, 9, (lthigh, lsin)),
+            ("left_knee", -7, 10, (lsin, lfoot)),
+            ("right_shoulder1", -6, 11, (torso, ruarm, rlarm)),
+            ("right_shoulder2", -5, 12, (torso, ruarm, rlarm)),
+            ("right_elbow", -4, 13, (rlarm,)),
+            ("left_shoulder1", -3, 14, (torso, luarm, llarm)),
+            ("left_shoulder2", -2, 15, (torso, luarm, llarm)),
+            ("left_elbow", -1, 16, (llarm,)),
+        ]
+        nodes = {n: Node(n, q, q, a, bodies=b) for n, q, a, b in spec}
+        abd = ("abdomen_x", "abdomen_y", "abdomen_z")
+        rhip = ("right_hip_x", "right_hip_y", "right_hip_z")
+        lhip = ("left_hip_x", "left_hip_y", "left_hip_z")
+        edges = [
+            HyperEdge(abd), HyperEdge(rhip), HyperEdge(lhip),
+            HyperEdge(("left_elbow", "left_shoulder1", "left_shoulder2")),
+            HyperEdge(("right_elbow", "right_shoulder1", "right_shoulder2")),
+            HyperEdge(("left_knee",) + lhip),
+            HyperEdge(("right_knee",) + rhip),
+            HyperEdge(("left_shoulder1", "left_shoulder2") + abd),
+            HyperEdge(("right_shoulder1", "right_shoulder2") + abd),
+            HyperEdge(abd + lhip),
+            HyperEdge(abd + rhip),
+        ]
+        globals_ = [
+            Node("root", None, None, None, extra_obs=(
+                ("qpos", ("qpos_slice", 2, 7)),
+                ("qvel", ("qvel_slice", 0, 6)),
+            )),
+        ]
+        upper = abd + ("right_shoulder1", "right_shoulder2", "right_elbow",
+                       "left_shoulder1", "left_shoulder2", "left_elbow")
+        lower = rhip + ("right_knee",) + lhip + ("left_knee",)
+        parts = {
+            None: [tuple(n for n, *_ in spec)],
+            "9|8": [upper, lower],
+        }[partitioning]
+    elif label == "Pusher":
+        # obsk.py:677-756
+        names = ["r_shoulder_pan_joint", "r_shoulder_lift_joint",
+                 "r_upper_arm_roll_joint", "r_elbow_flex_joint",
+                 "r_forearm_roll_joint", "r_wrist_flex_joint",
+                 "r_wrist_roll_joint"]
+        nodes = {n: Node(n, i, i, i) for i, n in enumerate(names)}
+        edges = [HyperEdge((names[i], names[i + 1])) for i in range(6)]
+        globals_ = [
+            Node("tips_arm", None, None, None, extra_obs=(
+                ("qpos", ("body_xpos", 10)), ("qvel", ("empty",)))),
+            Node("object", None, None, None, extra_obs=(
+                ("qpos", ("body_xpos", 11)), ("qvel", ("empty",)))),
+            Node("goal", None, None, None, extra_obs=(
+                ("qpos", ("body_xpos", 12)), ("qvel", ("empty",)))),
+        ]
+        parts = {
+            None: [tuple(names)],
+            # Shoulder / Elbow / Wrist (obsk.py Pusher "3p")
+            "3p": [tuple(names[:3]), (names[3],), tuple(names[4:])],
+        }[partitioning]
+    elif label == "ManySegmentSwimmer":
+        n_agents, n_per = (int(x) for x in partitioning.split("x"))
+        n_segs = n_agents * n_per
+        names = [f"rot{i}" for i in range(n_segs)]
+        nodes = {n: Node(n, -n_segs + i, -n_segs + i, i)
+                 for i, n in enumerate(names)}
+        edges = [HyperEdge((names[i], names[i + 1])) for i in range(n_segs - 1)]
+        globals_ = []
+        parts = [tuple(names[i * n_per:(i + 1) * n_per]) for i in range(n_agents)]
+    elif label == "ManySegmentAnt":
+        # ids/bodies mirror obsk.py ManySegmentAnt (incl. its positive-index
+        # quirk for early segments); bodies: 7 per segment
+        n_agents, n_per = (int(x) for x in partitioning.split("x"))
+        n_segs = n_agents * n_per
+        names = []
+        nodes = {}
+        edges = []
+        prev_hips = None
+        for seg in range(n_segs):
+            hip1 = f"hip1_{seg}"; ankle1 = f"ankle1_{seg}"
+            hip2 = f"hip2_{seg}"; ankle2 = f"ankle2_{seg}"
+            torso = 1 + seg * 7
+            frl, aux1, ank1 = 2 + seg * 7, 3 + seg * 7, 4 + seg * 7
+            bl, aux2, ank2 = 5 + seg * 7, 6 + seg * 7, 7 + seg * 7
+            off = -4 * (n_segs - 1 - seg)
+            nodes[hip1] = Node(hip1, -4 - off, -4 - off, 4 * seg + 0,
+                               bodies=(torso, frl), body_clip=True)
+            nodes[ankle1] = Node(ankle1, -3 - off, -3 - off, 4 * seg + 1,
+                                 bodies=(frl, aux1, ank1), body_clip=True)
+            nodes[hip2] = Node(hip2, -2 - off, -2 - off, 4 * seg + 2,
+                               bodies=(torso, bl), body_clip=True)
+            nodes[ankle2] = Node(ankle2, -1 - off, -1 - off, 4 * seg + 3,
+                                 bodies=(bl, aux2, ank2), body_clip=True)
+            names += [hip1, ankle1, hip2, ankle2]
+            edges += [HyperEdge((ankle1, hip1)), HyperEdge((ankle2, hip2)),
+                      HyperEdge((hip1, hip2))]
+            if prev_hips is not None:
+                edges.append(HyperEdge(prev_hips + (hip1, hip2)))
+            prev_hips = (hip1, hip2)
+        globals_ = [
+            Node("root", None, None, None, extra_obs=(
+                ("qpos", ("qpos_slice", 2, 7)),
+                ("qvel", ("qvel_slice", 0, 6)),
+            )),
+        ]
+        parts = [tuple(names[i * 4 * n_per:(i + 1) * 4 * n_per])
+                 for i in range(n_agents)]
     else:
         raise NotImplementedError(
             f"Scenario {label!r} factorization not yet implemented in this "
             "build (available: HalfCheetah, Ant, Hopper, Walker2d, Swimmer, "
-            "Reacher)."
+            "Reacher, Humanoid, HumanoidStandup, Pusher, ManySegment*)."
         )
 
     partitions = [tuple(nodes[n] for n in p) for p in parts]
