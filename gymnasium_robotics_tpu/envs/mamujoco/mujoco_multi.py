@@ -40,6 +40,7 @@ _SCENARIO_MAKERS = {
 _EPISODE_STEPS = {
     "HalfCheetah": 1000, "Ant": 1000, "Hopper": 1000, "Walker2d": 1000,
     "Swimmer": 1000, "Reacher": 50, "Humanoid": 1000,
+    "CoupledHalfCheetah": 1000,
     "HumanoidStandup": 1000, "Pusher": 100, "InvertedPendulum": 1000,
     "InvertedDoublePendulum": 1000,
 }
@@ -61,7 +62,13 @@ class MultiAgentMujocoEnv(core.FunctionalEnv):
         self.scenario = scenario
         self.agent_conf = agent_conf
         self.agent_obsk = agent_obsk
-        if scenario in ("ManySegmentSwimmer", "ManySegmentAnt"):
+        if scenario == "CoupledHalfCheetah":
+            from gymnasium_robotics_tpu.envs.mamujoco.coupled_half_cheetah import (
+                make_coupled_half_cheetah,
+            )
+
+            self.env = make_coupled_half_cheetah(dtype=dtype)
+        elif scenario in ("ManySegmentSwimmer", "ManySegmentAnt"):
             from gymnasium_robotics_tpu.envs.mamujoco import many_segment
 
             n_agents, n_per = (int(x) for x in agent_conf.split("x"))

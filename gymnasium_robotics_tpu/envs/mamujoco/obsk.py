@@ -348,6 +348,44 @@ def get_parts_and_edges(label: str, partitioning: Optional[str]):
             # Shoulder / Elbow / Wrist (obsk.py Pusher "3p")
             "3p": [tuple(names[:3]), (names[3],), tuple(names[4:])],
         }[partitioning]
+    elif label == "CoupledHalfCheetah":
+        # obsk.py:842-936. Note the reference gives BOTH cheetahs' joint nodes
+        # the same negative ids (-6..-1, i.e. the SECOND cheetah's qpos/qvel);
+        # mirrored verbatim for behavior parity. Only the bthigh nodes carry
+        # the tendon observations.
+        ten = (
+            ("ten_J", ("ten_J_cols", 0, (0, 1, 9, 10))),
+            ("ten_length", ("ten_length", 0)),
+            ("ten_velocity", ("ten_velocity", 0)),
+        )
+        names0 = ["bthigh0", "bshin0", "bfoot0", "fthigh0", "fshin0", "ffoot0"]
+        names1 = ["bthigh1", "bshin1", "bfoot1", "fthigh1", "fshin1", "ffoot1"]
+        nodes = {}
+        for base, names in ((0, names0), (6, names1)):
+            for i, n in enumerate(names):
+                nodes[n] = Node(
+                    n, -6 + i, -6 + i, base + i,
+                    extra_obs=ten if n.startswith("bthigh") else (),
+                )
+        edges = []
+        for names in (names0, names1):
+            b, s, f, ft, fs, ff = names
+            edges += [
+                HyperEdge((f, s)), HyperEdge((s, b)), HyperEdge((b, ft)),
+                HyperEdge((ft, fs)), HyperEdge((fs, ff)),
+            ]
+        globals_ = [
+            Node("root_x0", 0, 0, None, extra_obs=(("qpos", ("empty",)),)),
+            Node("root_y0", 2, 2, None),
+            Node("root_z0", 1, 1, None),
+            Node("root_x1", 9, 9, None, extra_obs=(("qpos", ("empty",)),)),
+            Node("root_y1", 11, 11, None),
+            Node("root_z1", 10, 10, None),
+        ]
+        parts = {
+            None: [tuple(names0 + names1)],
+            "1p1": [tuple(names0), tuple(names1)],
+        }[partitioning]
     elif label == "ManySegmentSwimmer":
         n_agents, n_per = (int(x) for x in partitioning.split("x"))
         n_segs = n_agents * n_per

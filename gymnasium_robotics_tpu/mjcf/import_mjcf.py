@@ -317,6 +317,18 @@ def import_model(m, dtype=np.float32, filter_qpos=None) -> "T.Model":
         tendon_num=_tup(m.tendon_num),
         tendon_limited=_tup(m.tendon_limited),
         wrap_objid=_tup(m.wrap_objid),
+        tendon_kind=tuple(
+            "spatial2"
+            if (
+                m.tendon_num[t] == 2
+                and all(
+                    m.wrap_type[w] == 3  # mjWRAP_SITE
+                    for w in range(m.tendon_adr[t], m.tendon_adr[t] + 2)
+                )
+            )
+            else "fixed"
+            for t in range(m.ntendon)
+        ),
         sensor_type=_tup(m.sensor_type),
         sensor_objid=_tup(m.sensor_objid),
         sensor_adr=_tup(m.sensor_adr),

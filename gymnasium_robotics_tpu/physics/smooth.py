@@ -309,18 +309,43 @@ def tendon(m: T.Model, d: T.Data) -> T.Data:
             ten_velocity=jnp.zeros(0, dtype),
             ten_J=jnp.zeros((0, mt.nv), dtype),
         )
+    kinds = mt.tendon_kind or ("fixed",) * mt.ntendon
     lengths = []
     rows = []
     for t in range(mt.ntendon):
         adr, num = mt.tendon_adr[t], mt.tendon_num[t]
         length = jnp.zeros((), dtype)
         row = jnp.zeros(mt.nv, dtype)
-        for w in range(adr, adr + num):
-            j = mt.wrap_objid[w]
-            coef = m.wrap_prm[w]
-            qadr, dadr = mt.jnt_qposadr[j], mt.jnt_dofadr[j]
-            length = length + coef * d.qpos[qadr]
-            row = row.at[dadr].add(coef)
+        if kinds[t] == "spatial2":
+            # straight site-to-site spatial tendon (CoupledHalfCheetah's
+            # elastic coupling, reference assets/coupled_half_cheetah.xml:143)
+            from gymnasium_robotics_tpu.physics.constraint import _body_dof_masks
+
+            s0, s1 = mt.wrap_objid[adr], mt.wrap_objid[adr + 1]
+            p0, p1 = d.site_xpos[s0], d.site_xpos[s1]
+            dvec = p1 - p0
+            L = jnp.linalg.norm(dvec)
+            direction = dvec / jnp.maximum(L, 1e-10)
+            masks = _body_dof_masks(mt)
+
+            def jacp(site, body):
+                mk = jnp.asarray(masks[body], dtype)
+                o = d.subtree_com[mt.body_rootid[body]]
+                off = d.site_xpos[site] - o
+                return (
+                    d.cdof[:, 3:] + jnp.cross(d.cdof[:, :3], off[None, :])
+                ) * mk[:, None]
+
+            b0, b1 = mt.site_bodyid[s0], mt.site_bodyid[s1]
+            row = (jacp(s1, b1) - jacp(s0, b0)) @ direction
+            length = L
+        else:
+            for w in range(adr, adr + num):
+                j = mt.wrap_objid[w]
+                coef = m.wrap_prm[w]
+                qadr, dadr = mt.jnt_qposadr[j], mt.jnt_dofadr[j]
+                length = length + coef * d.qpos[qadr]
+                row = row.at[dadr].add(coef)
         lengths.append(length)
         rows.append(row)
     ten_J = jnp.stack(rows)

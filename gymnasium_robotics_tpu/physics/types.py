@@ -141,7 +141,7 @@ class Meta:
     tendon_adr: Tuple[int, ...]
     tendon_num: Tuple[int, ...]
     tendon_limited: Tuple[int, ...]
-    wrap_objid: Tuple[int, ...]  # joint id per wrap entry (fixed tendons only)
+    wrap_objid: Tuple[int, ...]  # joint id (fixed) / site id (spatial) per wrap
 
     sensor_type: Tuple[int, ...]
     sensor_objid: Tuple[int, ...]
@@ -151,6 +151,7 @@ class Meta:
     # static collision candidate pairs: (geom1, geom2) sorted by type pair
     pairs: Tuple[Tuple[int, int], ...]
     con_condim: Tuple[int, ...] = ()  # condim per contact slot
+    tendon_kind: Tuple[str, ...] = ()  # 'fixed' | 'spatial2' (per tendon)
 
     # static facts precomputed at import
     has_damping: bool = False

@@ -157,6 +157,30 @@ def test_mamujoco_parallel_api():
     np.testing.assert_allclose(np.asarray(ga2), ga)
 
 
+def test_mamujoco_coupled_half_cheetah():
+    """Two cheetahs + elastic spatial tendon: scene matches the reference asset
+    (coupled_half_cheetah.xml), per-agent obs match the reference obsk program
+    (obsk.py:842-936) — validated exactly against it offline; here we pin the
+    shapes/contract."""
+    from gymnasium_robotics_tpu import mamujoco_v1
+
+    penv = mamujoco_v1.parallel_env(
+        scenario="CoupledHalfCheetah", agent_conf="1p1", agent_obsk=1
+    )
+    obs, info = penv.reset(seed=3)
+    assert set(obs) == {"agent_0", "agent_1"}
+    # 6 joints x (qpos+qvel) + tendon (4 jac cols + len + vel) + 10 globals
+    assert obs["agent_0"].shape == (28,)
+    for _ in range(3):
+        acts = {a: penv.action_space(a).sample() for a in penv.agents}
+        obs, rew, term, trunc, infos = penv.step(acts)
+    assert rew["agent_0"] == rew["agent_1"]
+    assert not term["agent_0"]  # never terminates (like Swimmer)
+    env = penv.env.env
+    assert env.observation_space.shape == (40,)  # single-agent obs incl tendon
+    assert env.model.meta.tendon_kind == ("spatial2",)
+
+
 def test_locomotion_matches_gymnasium():
     """Obs/reward parity vs gymnasium's C-engine envs at a synced state."""
     import dataclasses
