@@ -207,6 +207,9 @@ class AdroitHandHammerEnv(AdroitEnv):
         self._nail_site = m.name2id("site", "S_target")
         self._goal_site = m.name2id("site", "S_target_goal")
         self._board_body = m.name2id("body", "nail_board")
+        self._nail_sensor_adr = m.meta.sensor_adr[
+            m.meta.sensor_names.index("S_nail")
+        ]
 
     def _sample_aux(self, rng):
         z = jax.random.uniform(rng, (), self.dtype, 0.1, 0.25)
@@ -227,7 +230,10 @@ class AdroitHandHammerEnv(AdroitEnv):
         nail_pos = data.site_xpos[self._nail_site]
         goal_pos = data.site_xpos[self._goal_site]
         head_pos = data.site_xpos[self._tool_site]
-        nail_impact = jnp.zeros((), self.dtype)  # force sensor: later round
+        # touch sensor at the nail head (adroit_hammer.py:344-346)
+        nail_impact = jnp.clip(
+            data.sensordata[self._nail_sensor_adr], -1.0, 1.0
+        ).astype(self.dtype)
         obs = jnp.concatenate(
             [qp[:-6], qv[-6:], palm_pos, obj_pos, obj_rot, nail_pos,
              nail_impact[None]]

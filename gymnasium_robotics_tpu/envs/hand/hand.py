@@ -364,9 +364,12 @@ class HandManipulateEnv(HandBaseEnv):
         data = dataclasses.replace(data, qpos=qpos)
         # settle with zero action
         zero_ctrl = self._apply_action(data, jnp.zeros(20, self.dtype))
-        settled = data
-        for _ in range(10):
-            settled = pipeline.step_n(self.model, settled, zero_ctrl, self.n_substeps)
+        # one scan of 10*n_substeps (NOT 10 python-level step_n calls, which
+        # would trace 10 copies of the substep program and overflow the TPU
+        # program size at batch >= 1024)
+        settled = pipeline.step_n(
+            self.model, data, zero_ctrl, 10 * self.n_substeps
+        )
         on_palm = settled.site_xpos[self._obj_center_site][2] > 0.04
         # fall back to the unrandomized rest pose if the object fell off
         data = smooth.kinematics(self.model, data)

@@ -333,6 +333,7 @@ def import_model(m, dtype=np.float32, filter_qpos=None) -> "T.Model":
         sensor_objid=_tup(m.sensor_objid),
         sensor_adr=_tup(m.sensor_adr),
         sensor_dim=_tup(m.sensor_dim),
+        site_type=_tup(m.site_type),
         pairs=pairs,
         con_condim=slot["condim"],
         has_damping=bool(np.any(np.asarray(m.dof_damping) > 0)),

@@ -177,6 +177,94 @@ def _sphere_box(p1, R1, s1, p2, R2, s2):
     return dist[None], pos[None], n[None]
 
 
+def _point_cylinder(P, pc, Rc, s):
+    """Signed distance from point P to a true cylinder (radius s[0], half-
+    height s[1]): returns (sd, surface point, outward normal). Exact for the
+    lateral / cap / rim / interior regions (flat caps, unlike the capsule
+    approximation, which bulges by ~r beyond the cap face)."""
+    q = Rc.T @ (P - pc)
+    z = q[2]
+    radial = q[:2]
+    rad, rlen = gm.normalize(radial)
+    rdir = jnp.where(rlen > 1e-9, rad, jnp.array([1.0, 0.0], P.dtype))
+    dr = rlen - s[0]
+    dz = jnp.abs(z) - s[1]
+    zsign = jnp.where(z >= 0, 1.0, -1.0).astype(P.dtype)
+    # region classification
+    outside_r = dr > 0
+    outside_z = dz > 0
+    # closest surface point in cylinder frame
+    lat = jnp.concatenate([rdir * s[0], jnp.clip(z, -s[1], s[1])[None]])
+    cap = jnp.concatenate([rdir * jnp.minimum(rlen, s[0]), (zsign * s[1])[None]])
+    rim = jnp.concatenate([rdir * s[0], (zsign * s[1])[None]])
+    # interior: push out through nearer of lateral wall / cap face
+    inter = jnp.where(dr > dz, lat, cap)
+    surf_loc = jnp.where(
+        outside_r & outside_z, rim,
+        jnp.where(outside_r, lat, jnp.where(outside_z, cap, inter)),
+    )
+    sd = jnp.where(
+        outside_r & outside_z, jnp.sqrt(dr * dr + dz * dz),
+        jnp.where(outside_r, dr, jnp.where(outside_z, dz, jnp.maximum(dr, dz))),
+    )
+    surf = pc + Rc @ surf_loc
+    # outward normal at the surface point
+    n_lat = Rc @ jnp.concatenate([rdir, jnp.zeros(1, P.dtype)])
+    n_cap = Rc[:, 2] * zsign
+    diff = P - surf
+    n_away, dn = gm.normalize(diff)
+    n_out = jnp.where(
+        outside_r & outside_z, jnp.where(dn > 1e-9, n_away, n_lat),
+        jnp.where(outside_r, n_lat, jnp.where(outside_z, n_cap,
+                  jnp.where(dr > dz, n_lat, n_cap))),
+    )
+    return sd, surf, n_out
+
+
+def _sphere_cylinder(p1, R1, s1, p2, R2, s2):
+    sd, surf, n_out = _point_cylinder(p1, p2, R2, s2)
+    dist = sd - s1[0]
+    n = -n_out  # from sphere (geom1) into cylinder (geom2)
+    pos = 0.5 * ((p1 + n * s1[0]) + surf)
+    return dist[None], pos[None], n[None]
+
+
+def _capsule_cylinder(p1, R1, s1, p2, R2, s2):
+    """Capsule (geom1) vs true cylinder (geom2): the point-to-cylinder
+    distance is convex along the capsule segment, so a fixed-iteration
+    ternary search finds the closest axis point under jit."""
+    ax = R1[:, 2]
+
+    def sd_at(t):
+        return _point_cylinder(p1 + ax * (t * s1[1]), p2, R2, s2)[0]
+
+    lo = jnp.asarray(-1.0, p1.dtype)
+    hi = jnp.asarray(1.0, p1.dtype)
+    for _ in range(24):
+        m1 = lo + (hi - lo) / 3
+        m2 = hi - (hi - lo) / 3
+        go_right = sd_at(m1) > sd_at(m2)
+        lo = jnp.where(go_right, m1, lo)
+        hi = jnp.where(go_right, hi, m2)
+    t = 0.5 * (lo + hi)
+    c = p1 + ax * (t * s1[1])
+    return _sphere_cylinder(c, R1, s1, p2, R2, s2)
+
+
+def _cylinder_cylinder(p1, R1, s1, p2, R2, s2):
+    """Each direction treats one side as a capsule (a superset of the
+    cylinder, so each estimate under-reports distance); keep the larger."""
+    d_a, pos_a, n_a = _capsule_cylinder(p1, R1, s1, p2, R2, s2)
+    d_b, pos_b, n_b = _capsule_cylinder(p2, R2, s2, p1, R1, s1)
+    n_b = -n_b  # flip back to from-geom1-into-geom2
+    use_a = d_a >= d_b
+    return (
+        jnp.where(use_a, d_a, d_b),
+        jnp.where(use_a[:, None], pos_a, pos_b),
+        jnp.where(use_a[:, None], n_a, n_b),
+    )
+
+
 def _seg_seg_closest(a1, b1, a2, b2):
     d1 = b1 - a1
     d2 = b2 - a2
@@ -263,14 +351,14 @@ def _dispatch(t1, t2):
         (T.SPHERE, T.SPHERE): _sphere_sphere,
         (T.SPHERE, T.CAPSULE): _sphere_capsule,
         (T.SPHERE, T.BOX): _sphere_box,
-        (T.SPHERE, T.CYLINDER): _sphere_capsule,
+        (T.SPHERE, T.CYLINDER): _sphere_cylinder,
         (T.SPHERE, T.ELLIPSOID): _sphere_sphere,
         (T.CAPSULE, T.CAPSULE): _capsule_capsule,
         (T.CAPSULE, T.BOX): _capsule_box,
-        (T.CAPSULE, T.CYLINDER): _capsule_capsule,
+        (T.CAPSULE, T.CYLINDER): _capsule_cylinder,
         (T.BOX, T.BOX): _box_box,
         (T.CYLINDER, T.BOX): _capsule_box,
-        (T.CYLINDER, T.CYLINDER): _capsule_capsule,
+        (T.CYLINDER, T.CYLINDER): _cylinder_cylinder,
     }
     return table.get((t1, t2))
 

@@ -1,9 +1,11 @@
-"""Sensor readout (touch sensors for the Shadow Hand touch variants,
-reference envs/shadow_dexterous_hand/manipulate_touch_sensors.py:66-81).
+"""Sensor readout (touch sensors for the Shadow Hand touch variants and the
+Adroit hammer nail sensor, reference
+envs/shadow_dexterous_hand/manipulate_touch_sensors.py:66-81 and
+envs/adroit_hand/adroit_hammer.py:344-346).
 
-Touch sensor value = sum of normal contact force magnitudes for contacts whose
-position falls inside the sensor site zone on the sensor's body. Round-1
-approximation: contacts on the site's body within the site radius contribute.
+Touch sensor value = sum of contact normal forces for contacts on the sensor
+site's body whose position falls inside the site zone, with MuJoCo's per-site-
+type inside test (validated against mj_step sensordata on the hammer nail).
 """
 
 from __future__ import annotations
@@ -15,6 +17,25 @@ import jax.numpy as jnp
 from gymnasium_robotics_tpu.physics import types as T
 
 SENS_TOUCH = 0
+
+# mjtGeom codes
+_SPHERE, _CAPSULE, _ELLIPSOID, _CYLINDER, _BOX = 2, 3, 4, 5, 6
+
+
+def _inside_zone(site_type: int, size, loc):
+    """Is site-frame point ``loc`` inside the site volume (MuJoCo touch-sensor
+    zone semantics)?"""
+    if site_type == _SPHERE:
+        return jnp.linalg.norm(loc) <= size[0]
+    if site_type == _CAPSULE:
+        z = jnp.clip(loc[2], -size[1], size[1])
+        return jnp.linalg.norm(loc - jnp.array([0.0, 0.0, 1.0], loc.dtype) * z) <= size[0]
+    if site_type == _ELLIPSOID:
+        return jnp.sum(jnp.square(loc / size)) <= 1.0
+    if site_type == _CYLINDER:
+        return (jnp.linalg.norm(loc[:2]) <= size[0]) & (jnp.abs(loc[2]) <= size[1])
+    # box (and default for unknown/legacy assets without site_type metadata)
+    return jnp.all(jnp.abs(loc) <= size + 1e-6)
 
 
 def sensors(m: T.Model, d: T.Data) -> T.Data:
@@ -36,13 +57,14 @@ def sensors(m: T.Model, d: T.Data) -> T.Data:
         site = mt.sensor_objid[s]
         body = mt.site_bodyid[site]
         adr = mt.sensor_adr[s]
+        stype = mt.site_type[site] if mt.site_type else _BOX
         total = jnp.zeros((), d.qpos.dtype)
         for ci, (g1, g2) in enumerate(slot_geoms):
             if mt.geom_bodyid[g1] != body and mt.geom_bodyid[g2] != body:
                 continue
-            # contact inside the sensor site zone (box test in site frame)
+            # contact inside the sensor site zone (site-frame inside test)
             loc = d.site_xmat[site].T @ (d.contact.pos[ci] - d.site_xpos[site])
-            inside = jnp.all(jnp.abs(loc) <= m.site_size_arr[site] + 1e-6)
+            inside = _inside_zone(stype, m.site_size_arr[site], loc)
             fn = jnp.maximum(d.con_force[ci, 0], 0.0)
             total = total + jnp.where(inside, fn, 0.0)
         out = out.at[adr].set(total)

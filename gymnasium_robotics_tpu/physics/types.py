@@ -152,6 +152,7 @@ class Meta:
     pairs: Tuple[Tuple[int, int], ...]
     con_condim: Tuple[int, ...] = ()  # condim per contact slot
     tendon_kind: Tuple[str, ...] = ()  # 'fixed' | 'spatial2' (per tendon)
+    site_type: Tuple[int, ...] = ()  # mjtGeom per site (touch-sensor zones)
 
     # static facts precomputed at import
     has_damping: bool = False

@@ -106,3 +106,72 @@ def test_batched_step_vmaps():
     assert stepped.qpos.shape == (B, mjm.nq)
     # all instances identical inputs -> identical outputs
     assert np.allclose(np.asarray(stepped.qpos[0]), np.asarray(stepped.qpos[-1]))
+
+
+def test_sphere_cylinder_narrowphase_exact():
+    """Sphere vs true-cylinder contact matches MuJoCo analytically (flat caps,
+    lateral wall, rim; engine_collision_primitive sphere-cylinder)."""
+    from gymnasium_robotics_tpu.physics import collision as C
+
+    rng = np.random.default_rng(7)
+    checked = 0
+    for _ in range(120):
+        q1 = rng.normal(size=4); q1 /= np.linalg.norm(q1)
+        q2 = rng.normal(size=4); q2 /= np.linalg.norm(q2)
+        p1 = rng.uniform(-0.05, 0.05, 3)
+        p2 = rng.uniform(-0.05, 0.05, 3)
+        xml = f"""<mujoco><worldbody>
+          <body pos="{p1[0]} {p1[1]} {p1[2]}" quat="{q1[0]} {q1[1]} {q1[2]} {q1[3]}">
+            <geom type="sphere" size="0.05"/><freejoint/></body>
+          <body pos="{p2[0]} {p2[1]} {p2[2]}" quat="{q2[0]} {q2[1]} {q2[2]} {q2[3]}">
+            <geom type="cylinder" size="0.035 0.005"/><freejoint/></body>
+        </worldbody></mujoco>"""
+        mjm = mujoco.MjModel.from_xml_string(xml)
+        mjd = mujoco.MjData(mjm)
+        mujoco.mj_forward(mjm, mjd)
+        if mjd.ncon != 1:
+            continue
+        R1 = np.zeros(9); mujoco.mju_quat2Mat(R1, q1)
+        R2 = np.zeros(9); mujoco.mju_quat2Mat(R2, q2)
+        dist, pos, n = C._sphere_cylinder(
+            jnp.asarray(p1), jnp.asarray(R1.reshape(3, 3)),
+            jnp.asarray([0.05, 0.0, 0.0]),
+            jnp.asarray(p2), jnp.asarray(R2.reshape(3, 3)),
+            jnp.asarray([0.035, 0.005, 0.0]),
+        )
+        np.testing.assert_allclose(float(dist[0]), mjd.contact[0].dist, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(pos[0]), mjd.contact[0].pos, atol=1e-9)
+        checked += 1
+    assert checked > 30
+
+
+def test_touch_sensor_zone_matches_mujoco():
+    """Touch sensordata parity on a sphere resting on a cylinder-site body
+    (the Adroit hammer S_nail configuration, adroit_hammer.py:344-346)."""
+    xml = """<mujoco>
+      <worldbody>
+        <body name="pad" pos="0 0 0">
+          <geom type="cylinder" size="0.05 0.01"/>
+          <site name="zone" type="cylinder" size="0.03 0.012" pos="0 0 0"/>
+        </body>
+        <body pos="0.0 0.0 0.05"><geom type="sphere" size="0.03"/><freejoint/></body>
+        <body pos="0.045 0.0 0.05"><geom type="sphere" size="0.03"/><freejoint/></body>
+      </worldbody>
+      <sensor><touch site="zone" name="t"/></sensor>
+    </mujoco>"""
+    mjm = mujoco.MjModel.from_xml_string(xml)
+    mjd = mujoco.MjData(mjm)
+    for _ in range(100):
+        mujoco.mj_step(mjm, mjd)
+    m = import_model(mjm, dtype=np.float64)
+    d = pipeline.make_data(m, dtype=jnp.float64)
+    d = dataclasses.replace(
+        d, qpos=jnp.asarray(mjd.qpos), qvel=jnp.asarray(mjd.qvel)
+    )
+    d = jax.jit(pipeline.forward)(m, d)
+    # first sphere settles inside the zone (counted), second on the rim
+    # outside it (not counted): value tracks the C touch sensor
+    assert mjd.sensordata[0] > 0
+    np.testing.assert_allclose(
+        float(d.sensordata[0]), mjd.sensordata[0], rtol=0.05
+    )
