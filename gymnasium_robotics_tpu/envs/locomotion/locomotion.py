@@ -94,6 +94,19 @@ class LocomotionEnv(core.FunctionalEnv):
             n += (mt.nbody - 1) * 6
         return n
 
+    @property
+    def observation_structure(self):
+        """Obs layout segments (gymnasium *_v5 `observation_structure`): used
+        by MaMuJoCo's CTDE state<->local-obs mapping
+        (mujoco_multi.py:407-502)."""
+        mt = self.model.meta
+        return {
+            "skipped_qpos": self.cfg.exclude_xy,
+            "qpos": mt.nq - self.cfg.exclude_xy,
+            "qvel": mt.nv,
+            "cfrc_ext": (mt.nbody - 1) * 6 if self.cfg.include_cfrc else 0,
+        }
+
     # --- obs / reward hooks (overridable per env) ---
     def _get_obs(self, data):
         qvel = data.qvel

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import types
 from typing import Dict, Optional
 
 import jax
@@ -171,6 +172,98 @@ class MultiAgentMujocoEnv(core.FunctionalEnv):
             for agent, part in zip(self.possible_agents, self.agent_partitions)
         }
 
+    # --- CTDE state <-> local-observation mapping (mujoco_multi.py:343-502):
+    # the obsk gather program is replayed over a struct of global-obs indices,
+    # so the factorization is exact for scenarios whose per-agent obs are pure
+    # gathers of the single-agent observation (HalfCheetah, Ant, Walker2d, ...)
+
+    @property
+    def single_agent_env(self):
+        return self.env
+
+    @functools.cached_property
+    def observation_factorization(self):
+        return self.create_observation_mapping()
+
+    def create_observation_mapping(self) -> Optional[Dict[str, np.ndarray]]:
+        obs_dim = self.env.observation_space.shape[0]
+        if self.agent_obsk is None:
+            return {self.possible_agents[0]: np.arange(obs_dim)}
+        struct = getattr(self.env, "observation_structure", None)
+        if struct is None:
+            return None
+        mt = self.env.model.meta
+        gi = np.arange(obs_dim, dtype=np.float64)
+        seg = {}
+        off = 0
+        for key in ("qpos", "qvel", "cinert", "cvel", "qfrc_actuator",
+                    "cfrc_ext"):
+            n = struct.get(key, 0)
+            seg[key] = gi[off:off + n]
+            off += n
+        assert off == obs_dim, "observation_structure does not cover the obs"
+        nb = mt.nbody
+
+        def pad(name, prefix, shape=None):
+            x = np.concatenate([np.zeros(prefix), seg[name]])
+            return x.reshape(shape) if shape and len(x) > prefix else x
+
+        fake = types.SimpleNamespace(
+            qpos=jnp.asarray(pad("qpos", struct.get("skipped_qpos", 0))),
+            qvel=jnp.asarray(seg["qvel"]),
+            cinert=jnp.asarray(pad("cinert", 10, (nb, 10) if struct.get("cinert") else None)),
+            cvel=jnp.asarray(pad("cvel", 6, (nb, 6) if struct.get("cvel") else None)),
+            qfrc_actuator=jnp.asarray(pad("qfrc_actuator", 6)),
+            cfrc_ext=jnp.asarray(pad("cfrc_ext", 6, (nb, 6) if struct.get("cfrc_ext") else None)),
+        )
+        out = {}
+        for agent, k_dict in zip(self.possible_agents, self.k_dicts):
+            idx = obsk.build_obs(
+                fake, k_dict, self.local_categories, self.global_nodes,
+                self.global_categories, mt.nq, mt.nv, jnp.float64,
+                index_only=True,
+            )
+            out[agent] = np.asarray(idx).round().astype(np.int64)
+        return out
+
+    def map_global_state_to_local_observations(self, global_state):
+        """Gather each agent's observation out of the single-agent obs vector
+        (mujoco_multi.py:343-371)."""
+        fact = self.observation_factorization
+        assert fact is not None, (
+            "state mapping requires the inner env to expose "
+            "observation_structure"
+        )
+        global_state = np.asarray(global_state)
+        out = {a: global_state[idx] for a, idx in fact.items()}
+        for agent in self.possible_agents:
+            assert len(out[agent]) == self.observation_spaces[agent].shape[0]
+        return out
+
+    def map_local_observations_to_global_state(self, local_observation):
+        """Scatter per-agent observations back into the single-agent obs
+        vector, checking consistency (mujoco_multi.py:373-405)."""
+        fact = self.observation_factorization
+        assert fact is not None, (
+            "state mapping requires the inner env to expose "
+            "observation_structure"
+        )
+        obs_dim = self.env.observation_space.shape[0]
+        global_obs = np.full(obs_dim, np.nan)
+        for agent, idx in fact.items():
+            vals = np.asarray(local_observation[agent])
+            for local_i, global_i in enumerate(idx):
+                prev = global_obs[global_i]
+                assert np.isnan(prev) or prev == vals[local_i], (
+                    "FATAL: at least one observation is doubly defined"
+                )
+                global_obs[global_i] = vals[local_i]
+        assert not np.isnan(global_obs).any(), (
+            "FATAL: at least one observation is undefined; observations can "
+            "not be mapped"
+        )
+        return global_obs
+
     # --- functional API: obs is the dict of per-agent observations ---
     def initial(self, rng) -> core.EnvState:
         state = self.env.initial(rng)
@@ -248,6 +341,22 @@ class ParallelEnvAdapter:
         return np.concatenate(
             [np.asarray(self._state.data.qpos), np.asarray(self._state.data.qvel)]
         )
+
+    # CTDE mapping passthroughs (reference exposes these on the ParallelEnv)
+    def map_local_actions_to_global_action(self, actions):
+        return self.env.map_local_actions_to_global_action(actions)
+
+    def map_global_action_to_local_actions(self, action):
+        return self.env.map_global_action_to_local_actions(action)
+
+    def map_global_state_to_local_observations(self, global_state):
+        return self.env.map_global_state_to_local_observations(global_state)
+
+    def map_local_observations_to_global_state(self, local_observation):
+        return self.env.map_local_observations_to_global_state(local_observation)
+
+    def create_observation_mapping(self):
+        return self.env.create_observation_mapping()
 
 
 def parallel_env(scenario=None, agent_conf=None, agent_obsk=1, render_mode=None,

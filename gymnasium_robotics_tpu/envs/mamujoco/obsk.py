@@ -65,13 +65,14 @@ def get_joints_at_kdist(
     }
 
 
-def _apply_transform(spec, data, dtype):
+def _apply_transform(spec, data, dtype, index_only=False):
     kind = spec[0]
     if kind == "empty":
         return jnp.zeros(0, dtype)
     if kind == "clip_qvel":
         idx, lo, hi = spec[1], spec[2], spec[3]
-        return jnp.clip(data.qvel[jnp.asarray(np.atleast_1d(idx))], lo, hi)
+        vals = data.qvel[jnp.asarray(np.atleast_1d(idx))]
+        return vals if index_only else jnp.clip(vals, lo, hi)
     if kind == "qpos_slice":
         return data.qpos[spec[1]:spec[2]]
     if kind == "qvel_slice":
@@ -96,17 +97,24 @@ def _apply_transform(spec, data, dtype):
 
 def build_obs(
     data, k_dict, local_categories, global_nodes, global_categories,
-    nq: int, nv: int, dtype=jnp.float32,
+    nq: int, nv: int, dtype=jnp.float32, index_only=False,
 ):
     """jnp version of obsk.build_obs (obsk.py:156-229): same category order,
-    body dedup per category, negative ids resolved against (nq, nv)."""
+    body dedup per category, negative ids resolved against (nq, nv).
+
+    ``index_only=True`` runs the same gather program on a Data-like struct
+    whose fields hold global-obs INDICES, skipping value transforms (clip),
+    to produce the CTDE observation factorization (mujoco_multi.py:519-538's
+    index_only / ignore_body_fn mode)."""
     parts = []
     body_seen: Dict[str, set] = {}
 
     def emit(node, category):
         spec = node.get_extra(category)
         if spec is not None:
-            parts.append(jnp.atleast_1d(_apply_transform(spec, data, dtype)))
+            parts.append(
+                jnp.atleast_1d(_apply_transform(spec, data, dtype, index_only))
+            )
             return
         if category == "qvel":
             parts.append(data.qvel[node.qvel_ids % nv][None])
@@ -121,7 +129,7 @@ def build_obs(
                     continue
                 seen.add(body)
                 items = getattr(data, category)[body].reshape(-1)
-                if node.body_clip:
+                if node.body_clip and not index_only:
                     items = jnp.clip(items, -1.0, 1.0)
                 parts.append(items)
         elif category in ("ten_J", "ten_length", "ten_velocity"):

@@ -181,6 +181,31 @@ def test_mamujoco_coupled_half_cheetah():
     assert env.model.meta.tendon_kind == ("spatial2",)
 
 
+def test_mamujoco_ctde_observation_mapping():
+    """CTDE state<->local-obs factorization (mujoco_multi.py:343-502): index
+    arrays verified offline against the reference's create_observation_mapping
+    for HalfCheetah/Ant/Walker2d; here we pin gather/scatter consistency."""
+    import jax
+    import jax.numpy as jnp
+    from gymnasium_robotics_tpu.envs.mamujoco.mujoco_multi import (
+        MultiAgentMujocoEnv,
+    )
+
+    env = MultiAgentMujocoEnv("HalfCheetah", "2x3", agent_obsk=1,
+                              dtype=jnp.float64)
+    s = env.initial(jax.random.key(0))
+    acts = {a: jnp.asarray(env.action_spaces[a].sample(), jnp.float64)
+            for a in env.possible_agents}
+    s = env.step(s, acts)
+    state = np.asarray(env.env._get_obs(s.data))
+    local = env.map_global_state_to_local_observations(state)
+    for a in env.possible_agents:
+        np.testing.assert_allclose(local[a], np.asarray(s.obs[a]), atol=1e-12)
+    np.testing.assert_allclose(
+        env.map_local_observations_to_global_state(local), state, atol=1e-12
+    )
+
+
 def test_locomotion_matches_gymnasium():
     """Obs/reward parity vs gymnasium's C-engine envs at a synced state."""
     import dataclasses
