@@ -76,7 +76,11 @@ def _register_ant_maze():
                     id=f"AntMaze_{name}{suffix}-{ver}",
                     entry_point=AntMazeEnv,
                     max_episode_steps=steps,
-                    kwargs={"maze_map": mmap, "reward_type": reward_type},
+                    kwargs={
+                        "maze_map": mmap,
+                        "reward_type": reward_type,
+                        "version": ver,
+                    },
                 )
 
 

@@ -75,6 +75,7 @@ class AntMazeEnv(core.GoalEnv):
         continuing_task: bool = True,
         reset_target: bool = False,
         position_noise_range: float = 0.25,
+        version: str = "v5",
         max_episode_steps=None,
         dtype=jnp.float32,
     ):
@@ -89,12 +90,18 @@ class AntMazeEnv(core.GoalEnv):
         self.model = self.model.with_options(
             contact_cap=16, iterations=8, ls_iterations=4
         )
-        # inner ant config (ant_maze_v5.py:244-253)
+        # inner ant: v5 semantics include contact forces (ant_maze_v5.py:
+        # 244-253); v3/v4 wrap gymnasium's ant_v4 with default kwargs, i.e.
+        # use_contact_forces=False -> 27-dim observation and no contact cost
+        # (ant_maze_v3.py:47-53, ant_maze_v4.py:62-68)
+        self.version = version
+        include_cfrc = version == "v5"
         self.cfg = L.LocoConfig(
             xml="", frame_skip=5, ctrl_cost_weight=0.5,
-            contact_cost_weight=5e-4, healthy_reward=1.0,
+            contact_cost_weight=5e-4 if include_cfrc else 0.0,
+            healthy_reward=1.0,
             healthy_z_range=(0.2, 1.0), reset_noise_scale=0.0,
-            exclude_xy=0, include_cfrc=True, vel_from="body",
+            exclude_xy=0, include_cfrc=include_cfrc, vel_from="body",
         )
         self.reward_type = reward_type
         self.continuing_task = continuing_task
@@ -107,7 +114,9 @@ class AntMazeEnv(core.GoalEnv):
 
         import gymnasium.spaces as spaces
 
-        obs_dim = self.model.nq + self.model.nv + (self.model.meta.nbody - 1) * 6 - 2
+        obs_dim = self.model.nq + self.model.nv - 2
+        if include_cfrc:
+            obs_dim += (self.model.meta.nbody - 1) * 6
         self.action_space = spaces.Box(-1.0, 1.0, shape=(8,), dtype=np.float32)
         self.observation_space = spaces.Dict(
             dict(
@@ -152,6 +161,8 @@ class AntMazeEnv(core.GoalEnv):
         return self._add_noise(r2, cands[pick])
 
     def _ant_obs(self, data):
+        if not self.cfg.include_cfrc:
+            return jnp.concatenate([data.qpos, data.qvel])
         cfrc = jnp.clip(data.cfrc_ext[1:], -1.0, 1.0).reshape(-1)
         return jnp.concatenate([data.qpos, data.qvel, cfrc])
 
