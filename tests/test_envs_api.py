@@ -153,3 +153,34 @@ def test_her_relabel_on_device():
     # final-strategy: the last step's relabeled reward equals the reward of
     # achieving one's own goal (dense exp(-0) == 1)
     np.testing.assert_allclose(np.asarray(new_rew[-1]), 1.0, atol=1e-5)
+
+
+def test_checkpoint_resume_bitwise():
+    """Checkpoint/resume (SURVEY §5): a saved EnvState resumes to a bitwise-
+    identical rollout (rng keys round-trip through key_data)."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gymnasium_robotics_tpu import registry
+    from gymnasium_robotics_tpu.parallel import checkpoint as CK
+
+    env = registry.make("PointMaze_UMaze-v3", num_envs=8)
+    env.reset(0)
+    a = np.zeros((8,) + env.action_space.shape, np.float32)
+    for _ in range(3):
+        env.step(a)
+    state = env.state
+    with tempfile.TemporaryDirectory() as td:
+        path = td + "/ck"
+        CK.save_state(state, path)
+        restored = CK.restore_state(state, path)
+    # continue both and compare
+    s1 = env.step_state(state, jnp.asarray(a))
+    s2 = env.step_state(restored, jnp.asarray(a))
+    np.testing.assert_array_equal(np.asarray(s1.data.qpos), np.asarray(s2.data.qpos))
+    np.testing.assert_array_equal(
+        jax.random.key_data(s1.rng), jax.random.key_data(s2.rng)
+    )
