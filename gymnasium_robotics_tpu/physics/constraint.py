@@ -431,6 +431,27 @@ def solve_constraints(m: T.Model, d: T.Data) -> T.Data:
             qfrc_constraint=jnp.zeros(mt.nv, dtype),
         )
 
+    fused = mt.opt.fused_solver
+    use_fused = mt.nv == 2 and (
+        fused is True or fused == "force"
+        or (fused == "auto" and jax.default_backend() == "tpu")
+    )
+    if use_fused:
+        from gymnasium_robotics_tpu.physics import solver_pallas
+
+        qacc, f = solver_pallas.solve_small_nv2(
+            d.qM, d.qacc_smooth, J, aref, D, active, is_eq,
+            n_iter=min(mt.opt.iterations, 20),
+            n_ls=min(mt.opt.ls_iterations, 8),
+            interpret=jax.default_backend() != "tpu",
+        )
+        qfrc_constraint = J.T @ f
+        con_force, cfrc_ext = _decode_contact_forces(m, d, f, layout)
+        return dataclasses.replace(
+            d, qacc=qacc, qfrc_constraint=qfrc_constraint,
+            con_force=con_force, cfrc_ext=cfrc_ext,
+        )
+
     M = d.qM
     L = jax.scipy.linalg.cho_factor(M)
     a_smooth = d.qacc_smooth

@@ -1,0 +1,189 @@
+"""Fused Newton constraint solver for small systems (pallas).
+
+The generic solver (constraint.solve_constraints) lowers to ~200 XLA kernels
+per substep (Newton iterations x unrolled line search); on the tunneled TPU
+runtime each kernel pays ~0.1ms dispatch, so PointMaze-class models are
+kernel-count bound. This kernel runs the ENTIRE Newton loop — gradient,
+2x2 Hessian solve, exact line search, final force extraction — in ONE pallas
+program per 128-environment lane block (environments live on the TPU lane
+dimension; a custom_vmap rule turns the env-level vmap into the block grid).
+
+Semantics are identical to constraint.solve_constraints:420-496 (same
+active-set rule, same alpha clip, same unilateral force clamp); the unit test
+checks bitwise agreement on real PointMaze systems. Specialized to nv == 2
+(point-maze ball, inverted pendulum); other models keep the generic path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+_LANES = 128
+
+
+def _kernel(n_iter: int, n_ls: int,
+            M3_ref, asm_ref, J0_ref, J1_ref, aref_ref, D_ref, act_ref,
+            iseq_ref, qacc_ref, f_ref):
+    # lane layout: every array is (rows, 128) with one env per lane
+    m00 = M3_ref[0:1, :]
+    m01 = M3_ref[1:2, :]
+    m11 = M3_ref[2:3, :]
+    as0 = asm_ref[0:1, :]
+    as1 = asm_ref[1:2, :]
+    J0 = J0_ref[...]
+    J1 = J1_ref[...]
+    aref = aref_ref[...]
+    D = D_ref[...]
+    act = act_ref[...]
+    iseq = iseq_ref[...]
+    uni = 1.0 - iseq
+
+    a0, a1 = as0, as1
+
+    def dw_of(x):
+        aset = jnp.maximum(iseq, jnp.where(x < 0.0, 1.0, 0.0)) * act
+        return aset * D
+
+    def rsum(x):
+        return jnp.sum(x, axis=0, keepdims=True)
+
+    for _ in range(n_iter):
+        x = J0 * a0 + J1 * a1 - aref
+        Dw = dw_of(x)
+        gx = Dw * x
+        da0 = a0 - as0
+        da1 = a1 - as1
+        grad0 = m00 * da0 + m01 * da1 + rsum(J0 * gx)
+        grad1 = m01 * da0 + m11 * da1 + rsum(J1 * gx)
+        h00 = m00 + rsum(Dw * J0 * J0)
+        h01 = m01 + rsum(Dw * J0 * J1)
+        h11 = m11 + rsum(Dw * J1 * J1)
+        det = h00 * h11 - h01 * h01
+        p0 = -(h11 * grad0 - h01 * grad1) / det
+        p1 = -(-h01 * grad0 + h00 * grad1) / det
+        # exact line search (constraint.py:454-473)
+        Jp = J0 * p0 + J1 * p1
+        pMp = p0 * (m00 * p0 + m01 * p1) + p1 * (m01 * p0 + m11 * p1)
+        pMa = p0 * (m00 * da0 + m01 * da1) + p1 * (m01 * da0 + m11 * da1)
+        alpha = jnp.ones_like(p0)
+        for _ls in range(n_ls):
+            x2 = x + alpha * Jp
+            Dw2 = dw_of(x2)
+            dphi = alpha * pMp + pMa + rsum(Dw2 * x2 * Jp)
+            ddphi = pMp + rsum(Dw2 * Jp * Jp)
+            alpha = alpha - dphi / jnp.maximum(ddphi, 1e-12)
+        alpha = jnp.clip(alpha, 0.0, 4.0)
+        a0 = a0 + alpha * p0
+        a1 = a1 + alpha * p1
+
+    x = J0 * a0 + J1 * a1 - aref
+    Dw = dw_of(x)
+    f = -Dw * x
+    # unilateral rows cannot pull (constraint.py:489-490)
+    f = jnp.where(uni > 0.0, jnp.maximum(f, 0.0), f)
+    qfc0 = rsum(J0 * f)
+    qfc1 = rsum(J1 * f)
+    detM = m00 * m11 - m01 * m01
+    q0 = as0 + (m11 * qfc0 - m01 * qfc1) / detM
+    q1 = as1 + (-m01 * qfc0 + m00 * qfc1) / detM
+    qacc_ref[...] = jnp.concatenate([q0, q1], axis=0)
+    f_ref[...] = f
+
+
+def _solve_block(M3, asm, J0, J1, aref, D, act, iseq, n_iter, n_ls,
+                 interpret):
+    """All inputs lane-layout (rows, Bp) with Bp % 128 == 0."""
+    ne, Bp = J0.shape
+    dtype = J0.dtype
+    grid = Bp // _LANES
+
+    def spec(rows):
+        return pl.BlockSpec((rows, _LANES), lambda i: (0, i))
+
+    qacc, f = pl.pallas_call(
+        functools.partial(_kernel, n_iter, n_ls),
+        grid=(grid,),
+        in_specs=[spec(3), spec(2), spec(ne), spec(ne), spec(ne), spec(ne),
+                  spec(ne), spec(ne)],
+        out_specs=[spec(2), spec(ne)],
+        out_shape=(
+            jax.ShapeDtypeStruct((2, Bp), dtype),
+            jax.ShapeDtypeStruct((ne, Bp), dtype),
+        ),
+        interpret=interpret,
+    )(M3, asm, J0, J1, aref, D, act, iseq)
+    return qacc, f
+
+
+def _solve_batched(M, asm, J, aref, D, active, is_eq, n_iter, n_ls,
+                   interpret):
+    """Batched solve: M (B,2,2), asm (B,2), J (B,ne,2), rest (B,ne)."""
+    B, ne = aref.shape
+    dtype = J.dtype
+    Bp = -(-B // _LANES) * _LANES
+    pad = Bp - B
+
+    def lane(x):  # (B, rows...) -> (rows, Bp)
+        x = jnp.moveaxis(x, 0, -1)
+        if pad:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+        return x.astype(dtype)
+
+    M3 = lane(jnp.stack([M[:, 0, 0], M[:, 0, 1], M[:, 1, 1]], axis=-1))
+    if pad:  # keep padded-det nonzero
+        M3 = M3.at[0, B:].set(1.0).at[2, B:].set(1.0)
+    asmT = lane(asm)
+    J0 = lane(J[:, :, 0])
+    J1 = lane(J[:, :, 1])
+    qacc, f = _solve_block(
+        M3, asmT, J0, J1, lane(aref), lane(D),
+        lane(active.astype(dtype)), lane(is_eq.astype(dtype)),
+        n_iter, n_ls, interpret,
+    )
+    return (
+        jnp.moveaxis(qacc[:, :B], -1, 0),
+        jnp.moveaxis(f[:, :B], -1, 0),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _make_solver(n_iter: int, n_ls: int, interpret: bool):
+    @jax.custom_batching.custom_vmap
+    def solve(M, asm, J, aref, D, active, is_eq):
+        qacc, f = _solve_batched(
+            M[None], asm[None], J[None], aref[None], D[None],
+            active[None], is_eq[None], n_iter, n_ls, interpret,
+        )
+        return qacc[0], f[0]
+
+    @solve.def_vmap
+    def _rule(axis_size, in_batched, M, asm, J, aref, D, active, is_eq):
+        def bc(x, b, shape):
+            return x if b else jnp.broadcast_to(x, (axis_size,) + shape)
+
+        M = bc(M, in_batched[0], (2, 2))
+        asm = bc(asm, in_batched[1], (2,))
+        ne = J.shape[-2] if in_batched[2] else J.shape[0]
+        J = bc(J, in_batched[2], (ne, 2))
+        aref = bc(aref, in_batched[3], (ne,))
+        D = bc(D, in_batched[4], (ne,))
+        active = bc(active, in_batched[5], (ne,))
+        is_eq = bc(is_eq, in_batched[6], (ne,))
+        out = _solve_batched(
+            M, asm, J, aref, D, active, is_eq, n_iter, n_ls, interpret
+        )
+        return out, (True, True)
+
+    return solve
+
+
+def solve_small_nv2(M, a_smooth, J, aref, D, active, is_eq,
+                    n_iter: int, n_ls: int, interpret: bool = False):
+    """Single-env fused Newton solve for nv=2; vmap-compatible (the env-level
+    vmap becomes the pallas lane/grid batching). Returns (qacc, f)."""
+    solve = _make_solver(n_iter, n_ls, interpret)
+    return solve(M, a_smooth, J, aref, D, active, is_eq)

@@ -62,6 +62,9 @@ class Option:
     # max simultaneously active contact slots per condim group (0 = no cap);
     # the TPU-native bound on nefc for scenes with large static pair tables
     contact_cap: int = 0
+    # fused pallas Newton solver for small systems (nv==2); "auto" enables it
+    # on TPU backends only, True forces (interpret-mode on CPU), False = off
+    fused_solver: str = "auto"
     # disable flags
     disable_contact: bool = False
     disable_gravity: bool = False

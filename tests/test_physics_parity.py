@@ -175,3 +175,30 @@ def test_touch_sensor_zone_matches_mujoco():
     np.testing.assert_allclose(
         float(d.sensordata[0]), mjd.sensordata[0], rtol=0.05
     )
+
+
+def test_fused_solver_matches_generic():
+    """The pallas fused Newton solver (physics/solver_pallas.py) must agree
+    with constraint.solve_constraints bitwise on the PointMaze system
+    (interpret mode on CPU; the TPU path compiles the same kernel)."""
+    from gymnasium_robotics_tpu.envs.maze.point_maze import PointMazeEnv
+
+    env = PointMazeEnv(dtype=jnp.float64)
+    m = env.model
+    rng = np.random.default_rng(3)
+    for _ in range(3):
+        d = pipeline.make_data(m, dtype=jnp.float64)
+        d = dataclasses.replace(
+            d,
+            qpos=jnp.asarray(rng.uniform(-1, 1, m.nq)),
+            qvel=jnp.asarray(rng.normal(0, 2, m.nv)),
+            ctrl=jnp.asarray(rng.uniform(-1, 1, m.nu)),
+        )
+        gen = pipeline.forward(m.with_options(fused_solver="off"), d)
+        fus = pipeline.forward(m.with_options(fused_solver="force"), d)
+        np.testing.assert_array_equal(
+            np.asarray(gen.qacc), np.asarray(fus.qacc)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(gen.qfrc_constraint), np.asarray(fus.qfrc_constraint)
+        )
