@@ -432,14 +432,16 @@ def solve_constraints(m: T.Model, d: T.Data) -> T.Data:
         )
 
     fused = mt.opt.fused_solver
-    use_fused = mt.nv == 2 and (
+    use_fused = mt.nv <= 16 and (
         fused is True or fused == "force"
         or (fused == "auto" and jax.default_backend() == "tpu")
     )
     if use_fused:
         from gymnasium_robotics_tpu.physics import solver_pallas
 
-        qacc, f = solver_pallas.solve_small_nv2(
+        fn = (solver_pallas.solve_small_nv2 if mt.nv == 2
+              else solver_pallas.solve_small)
+        qacc, f = fn(
             d.qM, d.qacc_smooth, J, aref, D, active, is_eq,
             n_iter=min(mt.opt.iterations, 20),
             n_ls=min(mt.opt.ls_iterations, 8),

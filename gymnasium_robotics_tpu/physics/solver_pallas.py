@@ -187,3 +187,214 @@ def solve_small_nv2(M, a_smooth, J, aref, D, active, is_eq,
     vmap becomes the pallas lane/grid batching). Returns (qacc, f)."""
     solve = _make_solver(n_iter, n_ls, interpret)
     return solve(M, a_smooth, J, aref, D, active, is_eq)
+
+
+# ---------------------------------------------------------------------------
+# Generic small-nv variant: same program structure, but the 2x2 closed-form
+# Hessian solve becomes an unrolled in-kernel Cholesky over (1, 128) lane
+# rows. nv is a compile-time constant; every loop below unrolls at trace time
+# inside the ONE pallas program.
+# ---------------------------------------------------------------------------
+
+def _chol_solve_lanes(H, b, nv):
+    """Solve H x = b per lane; H is a dict {(i,j): (1,128)} lower incl diag,
+    b a list of nv (1,128) rows. Unrolled Cholesky (LL^T)."""
+    L = {}
+    for i in range(nv):
+        s = H[(i, i)]
+        for k in range(i):
+            s = s - L[(i, k)] * L[(i, k)]
+        L[(i, i)] = jnp.sqrt(jnp.maximum(s, 1e-20))
+        for j in range(i + 1, nv):
+            s = H[(j, i)]
+            for k in range(i):
+                s = s - L[(j, k)] * L[(i, k)]
+            L[(j, i)] = s / L[(i, i)]
+    # forward substitution L y = b
+    y = []
+    for i in range(nv):
+        s = b[i]
+        for k in range(i):
+            s = s - L[(i, k)] * y[k]
+        y.append(s / L[(i, i)])
+    # back substitution L^T x = y
+    x = [None] * nv
+    for i in reversed(range(nv)):
+        s = y[i]
+        for k in range(i + 1, nv):
+            s = s - L[(k, i)] * x[k]
+        x[i] = s / L[(i, i)]
+    return x
+
+
+def _kernel_nv(nv: int, n_iter: int, n_ls: int,
+               M_ref, asm_ref, J_ref, aref_ref, D_ref, act_ref, iseq_ref,
+               qacc_ref, f_ref):
+    # M_ref (nv*(nv+1)//2, 128) packed lower-tri rows; J_ref (nv, ne, 128)
+    Mp = {}
+    idx = 0
+    for i in range(nv):
+        for j in range(i + 1):
+            Mp[(i, j)] = M_ref[idx:idx + 1, :]
+            Mp[(j, i)] = Mp[(i, j)]
+            idx += 1
+    asm = [asm_ref[i:i + 1, :] for i in range(nv)]
+    Jk = [J_ref[k] for k in range(nv)]
+    aref = aref_ref[...]
+    D = D_ref[...]
+    act = act_ref[...]
+    iseq = iseq_ref[...]
+    uni = 1.0 - iseq
+
+    def dw_of(x):
+        aset = jnp.maximum(iseq, jnp.where(x < 0.0, 1.0, 0.0)) * act
+        return aset * D
+
+    def rsum(x):
+        return jnp.sum(x, axis=0, keepdims=True)
+
+    def Mmul(v):  # list of nv rows -> list of nv rows
+        return [
+            sum(Mp[(i, j)] * v[j] for j in range(nv)) for i in range(nv)
+        ]
+
+    def Jdot(a):  # (ne, 128)
+        out = Jk[0] * a[0]
+        for k in range(1, nv):
+            out = out + Jk[k] * a[k]
+        return out
+
+    a = list(asm)
+    for _ in range(n_iter):
+        x = Jdot(a) - aref
+        Dw = dw_of(x)
+        gx = Dw * x
+        da = [a[i] - asm[i] for i in range(nv)]
+        Mda = Mmul(da)
+        grad = [Mda[i] + rsum(Jk[i] * gx) for i in range(nv)]
+        H = {}
+        for i in range(nv):
+            DJi = Dw * Jk[i]
+            for j in range(i + 1):
+                H[(i, j)] = Mp[(i, j)] + rsum(DJi * Jk[j])
+        p = _chol_solve_lanes(H, [-g for g in grad], nv)
+        # exact line search (constraint.py:454-473)
+        Jp = Jdot(p)
+        Mpv = Mmul(p)
+        pMp = sum(p[i] * Mpv[i] for i in range(nv))
+        pMa = sum(p[i] * Mda[i] for i in range(nv))
+        alpha = jnp.ones_like(pMp)
+        for _ls in range(n_ls):
+            x2 = x + alpha * Jp
+            Dw2 = dw_of(x2)
+            dphi = alpha * pMp + pMa + rsum(Dw2 * x2 * Jp)
+            ddphi = pMp + rsum(Dw2 * Jp * Jp)
+            alpha = alpha - dphi / jnp.maximum(ddphi, 1e-12)
+        alpha = jnp.clip(alpha, 0.0, 4.0)
+        a = [a[i] + alpha * p[i] for i in range(nv)]
+
+    x = Jdot(a) - aref
+    Dw = dw_of(x)
+    f = -Dw * x
+    f = jnp.where(uni > 0.0, jnp.maximum(f, 0.0), f)
+    qfc = [rsum(Jk[i] * f) for i in range(nv)]
+    Mh = {k: v for k, v in Mp.items()}
+    dq = _chol_solve_lanes(Mh, qfc, nv)
+    qacc_ref[...] = jnp.concatenate(
+        [asm[i] + dq[i] for i in range(nv)], axis=0
+    )
+    f_ref[...] = f
+
+
+def _solve_batched_nv(M, asm, J, aref, D, active, is_eq, nv, n_iter, n_ls,
+                      interpret):
+    """Batched solve for general small nv: M (B,nv,nv), asm (B,nv),
+    J (B,ne,nv), rest (B,ne)."""
+    B, ne = aref.shape
+    dtype = J.dtype
+    Bp = -(-B // _LANES) * _LANES
+    pad = Bp - B
+
+    def lane(x):
+        x = jnp.moveaxis(x, 0, -1)
+        if pad:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+        return x.astype(dtype)
+
+    packed = [M[:, i, j] for i in range(nv) for j in range(i + 1)]
+    M3 = lane(jnp.stack(packed, axis=-1))
+    if pad:  # identity on padded lanes keeps the Cholesky well-posed
+        idx = 0
+        for i in range(nv):
+            for j in range(i + 1):
+                if i == j:
+                    M3 = M3.at[idx, B:].set(1.0)
+                idx += 1
+    asmT = lane(asm)
+    Jl = lane(J.transpose(0, 2, 1))  # (B, nv, ne) -> (nv, ne, Bp)
+    grid = Bp // _LANES
+    nM = nv * (nv + 1) // 2
+
+    def spec2(rows):
+        return pl.BlockSpec((rows, _LANES), lambda i: (0, i))
+
+    qacc, f = pl.pallas_call(
+        functools.partial(_kernel_nv, nv, n_iter, n_ls),
+        grid=(grid,),
+        in_specs=[
+            spec2(nM), spec2(nv),
+            pl.BlockSpec((nv, ne, _LANES), lambda i: (0, 0, i)),
+            spec2(ne), spec2(ne), spec2(ne), spec2(ne),
+        ],
+        out_specs=[spec2(nv), spec2(ne)],
+        out_shape=(
+            jax.ShapeDtypeStruct((nv, Bp), dtype),
+            jax.ShapeDtypeStruct((ne, Bp), dtype),
+        ),
+        interpret=interpret,
+    )(M3, asmT, Jl, lane(aref), lane(D),
+      lane(active.astype(dtype)), lane(is_eq.astype(dtype)))
+    return (
+        jnp.moveaxis(qacc[:, :B], -1, 0),
+        jnp.moveaxis(f[:, :B], -1, 0),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _make_solver_nv(nv: int, n_iter: int, n_ls: int, interpret: bool):
+    @jax.custom_batching.custom_vmap
+    def solve(M, asm, J, aref, D, active, is_eq):
+        qacc, f = _solve_batched_nv(
+            M[None], asm[None], J[None], aref[None], D[None],
+            active[None], is_eq[None], nv, n_iter, n_ls, interpret,
+        )
+        return qacc[0], f[0]
+
+    @solve.def_vmap
+    def _rule(axis_size, in_batched, M, asm, J, aref, D, active, is_eq):
+        def bc(x, b, shape):
+            return x if b else jnp.broadcast_to(x, (axis_size,) + shape)
+
+        ne = J.shape[-2]
+        M = bc(M, in_batched[0], (nv, nv))
+        asm = bc(asm, in_batched[1], (nv,))
+        J = bc(J, in_batched[2], (ne, nv))
+        aref = bc(aref, in_batched[3], (ne,))
+        D = bc(D, in_batched[4], (ne,))
+        active = bc(active, in_batched[5], (ne,))
+        is_eq = bc(is_eq, in_batched[6], (ne,))
+        out = _solve_batched_nv(
+            M, asm, J, aref, D, active, is_eq, nv, n_iter, n_ls, interpret
+        )
+        return out, (True, True)
+
+    return solve
+
+
+def solve_small(M, a_smooth, J, aref, D, active, is_eq,
+                n_iter: int, n_ls: int, interpret: bool = False):
+    """Fused Newton solve for general small nv (compile-time constant from
+    J's static shape); vmap-compatible. Returns (qacc, f)."""
+    nv = J.shape[-1]
+    solve = _make_solver_nv(nv, n_iter, n_ls, interpret)
+    return solve(M, a_smooth, J, aref, D, active, is_eq)
