@@ -432,7 +432,7 @@ def solve_constraints(m: T.Model, d: T.Data) -> T.Data:
         )
 
     fused = mt.opt.fused_solver
-    use_fused = mt.nv <= 16 and (
+    use_fused = mt.nv <= 24 and (
         fused is True or fused == "force"
         or (fused == "auto" and jax.default_backend() == "tpu")
     )

@@ -202,3 +202,26 @@ def test_fused_solver_matches_generic():
         np.testing.assert_array_equal(
             np.asarray(gen.qfrc_constraint), np.asarray(fus.qfrc_constraint)
         )
+
+
+def test_fused_solver_generic_nv_matches():
+    """Generic-nv fused kernel (solver_pallas.solve_small) vs the generic
+    solver on hopper (nv=6): same Newton trajectory, Cholesky-ordering fp
+    noise only."""
+    from gymnasium_robotics_tpu.envs.locomotion.locomotion import make_hopper
+
+    env = make_hopper(dtype=jnp.float64)
+    m = env.model
+    rng = np.random.default_rng(5)
+    d = pipeline.make_data(m, dtype=jnp.float64)
+    d = dataclasses.replace(
+        d,
+        qpos=jnp.asarray(np.asarray(m.qpos0) + rng.uniform(-0.1, 0.1, m.nq)),
+        qvel=jnp.asarray(rng.normal(0, 1, m.nv)),
+        ctrl=jnp.asarray(rng.uniform(-1, 1, m.nu)),
+    )
+    gen = pipeline.forward(m.with_options(fused_solver="off"), d)
+    fus = pipeline.forward(m.with_options(fused_solver="force"), d)
+    np.testing.assert_allclose(
+        np.asarray(gen.qacc), np.asarray(fus.qacc), atol=1e-9
+    )
