@@ -225,3 +225,33 @@ def test_fused_solver_generic_nv_matches():
     np.testing.assert_allclose(
         np.asarray(gen.qacc), np.asarray(fus.qacc), atol=1e-9
     )
+
+
+def test_fused_solver_trajectory_stays_on_generic_path():
+    """50-step PointMaze trajectory: fused and generic solvers produce the
+    same states (bitwise at f64) — guards active-set chatter divergence."""
+    from gymnasium_robotics_tpu.envs.maze.point_maze import PointMazeEnv
+
+    env = PointMazeEnv(dtype=jnp.float64)
+    m_gen = env.model.with_options(fused_solver="off")
+    m_fus = env.model.with_options(fused_solver="force")
+    d_gen = pipeline.make_data(m_gen, dtype=jnp.float64)
+    rng = np.random.default_rng(11)
+    d_gen = dataclasses.replace(
+        d_gen,
+        qpos=jnp.asarray(rng.uniform(-0.5, 0.5, m_gen.nq)),
+        qvel=jnp.asarray(rng.normal(0, 1, m_gen.nv)),
+        ctrl=jnp.asarray(rng.uniform(-1, 1, m_gen.nu)),
+    )
+    d_fus = d_gen
+    step_gen = jax.jit(lambda d: pipeline.step(m_gen, d))
+    step_fus = jax.jit(lambda d: pipeline.step(m_fus, d))
+    for _ in range(50):
+        d_gen = step_gen(d_gen)
+        d_fus = step_fus(d_fus)
+    np.testing.assert_array_equal(
+        np.asarray(d_gen.qpos), np.asarray(d_fus.qpos)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(d_gen.qvel), np.asarray(d_fus.qvel)
+    )
