@@ -1,10 +1,13 @@
 """Benchmark harness: batched env-steps/s per family on the available chip.
 
 Prints ONE JSON line for the headline metric and writes BENCH_DETAIL.json with
-every family. Each family runs in its own subprocess with a hard timeout, so a
-wedged compile service cannot hang the harness; within a family the scan-based
-rollout (one device program per trajectory) is used, falling back to the
-per-step jitted path.
+every family. Designed to survive a driver-side kill (round-1 lesson: rc=124
+lost everything): the headline line is printed and flushed AS SOON AS the
+flagship family completes, and BENCH_DETAIL.json is rewritten incrementally
+after every family, so a timeout mid-run still leaves full artifacts.
+
+Each family runs in its own subprocess with a hard timeout, so a wedged
+compile service cannot hang the harness.
 
 vs_baseline: the reference publishes no performance numbers (BASELINE.md);
 BASELINE.json's north star is >= 10,000 batched env instances per chip at the
@@ -17,13 +20,12 @@ import subprocess
 import sys
 import time
 
-# (env_id, num_envs, rollout_steps, control_hz)
+# (env_id, num_envs, rollout_steps, control_hz) — flagship first: its result
+# is the headline and is printed immediately.
 BENCHES = [
     ("PointMaze_UMaze-v3", 8192, 200, 100.0),
     ("FetchPush-v4", 8192, 20, 25.0),
-    # B=512: larger hand batches hit a device fault in this stack's nested
-    # reset scans (see CLAUDE.md "TPU operational notes")
-    ("HandManipulateBlockRotateXYZ-v1", 512, 20, 25.0),
+    ("HandManipulateBlockRotateXYZ-v1", 1024, 20, 25.0),
     ("AntMaze_UMaze-v5", 4096, 50, 20.0),
     ("HalfCheetah-v5", 8192, 100, 20.0),
 ]
@@ -54,43 +56,53 @@ print("RESULT " + json.dumps({"sps": sps}))
 """
 
 
-def bench_family(env_id, num_envs, steps, timeout_s=2100):
+def bench_family(env_id, num_envs, steps, timeout_s):
     # steploop only: identical steady-state throughput to the scan mode on
     # this stack, compiles faster through the remote-compile service, and
     # avoids the large-scan-body device fault (CLAUDE.md). After a timeout,
     # wait for the device grant to recycle before the next family.
-    for mode in ("steploop",):
-        try:
-            out = subprocess.run(
-                [sys.executable, "-c", _CHILD, env_id, str(num_envs), str(steps), mode],
-                capture_output=True, text=True, timeout=timeout_s,
-            )
-            for line in out.stdout.splitlines():
-                if line.startswith("RESULT "):
-                    return json.loads(line[len("RESULT "):])["sps"], mode
-        except subprocess.TimeoutExpired:
-            time.sleep(120)  # let the wedged grant recycle before retrying
-            continue
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", _CHILD, env_id, str(num_envs), str(steps),
+             "steploop"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("RESULT "):
+                return json.loads(line[len("RESULT "):])["sps"], "steploop"
+    except subprocess.TimeoutExpired:
+        time.sleep(120)  # let the wedged grant recycle before the next family
     return None, None
+
+
+def _flush_detail(platform, detail):
+    with open("BENCH_DETAIL.json", "w") as f:
+        json.dump({"platform": platform, "benches": detail}, f, indent=2)
 
 
 def main():
     platform = "tpu" if os.environ.get("JAX_PLATFORMS", "") not in ("cpu",) else "cpu"
     cpu = platform == "cpu"
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", 5400))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 2400))
     start = time.perf_counter()
     detail = {}
-    headline = None
+    headline_printed = False
     for env_id, num_envs, steps, hz in BENCHES:
-        if time.perf_counter() - start > budget_s:
+        elapsed = time.perf_counter() - start
+        if elapsed > budget_s:
             detail[env_id] = {"skipped": "global bench budget exhausted"}
+            _flush_detail(platform, detail)
             continue
         if cpu:
             num_envs = max(num_envs // 16, 64)
+        # leave the family at most the remaining budget (plus slack for the
+        # flagship, which must land for the headline)
+        family_timeout = max(budget_s - elapsed, 300 if headline_printed else 900)
         t0 = time.perf_counter()
-        sps, mode = bench_family(env_id, num_envs, steps)
+        sps, mode = bench_family(env_id, num_envs, steps, timeout_s=family_timeout)
         if sps is None:
             detail[env_id] = {"error": "timeout (compile service?)"}
+            _flush_detail(platform, detail)
             continue
         detail[env_id] = {
             "env_steps_per_s": round(sps, 1),
@@ -99,25 +111,24 @@ def main():
             "vs_10k_realtime": round(sps / (10_000 * hz), 4),
             "wall_s": round(time.perf_counter() - t0, 1),
         }
-        if headline is None:
-            headline = (env_id, num_envs, sps, hz)
-    with open("BENCH_DETAIL.json", "w") as f:
-        json.dump({"platform": platform, "benches": detail}, f, indent=2)
-    if headline is None:
+        _flush_detail(platform, detail)
+        if not headline_printed:
+            print(
+                json.dumps(
+                    {
+                        "metric": f"env_steps_per_s[{env_id} x{num_envs} {platform}]",
+                        "value": round(sps, 1),
+                        "unit": "env-steps/s/chip",
+                        "vs_baseline": round(sps / (10_000 * hz), 3),
+                    }
+                ),
+                flush=True,
+            )
+            headline_printed = True
+    if not headline_printed:
         print(json.dumps({"metric": "bench_failed_compile_service", "value": 0,
-                          "unit": "env-steps/s/chip", "vs_baseline": 0}))
-        return
-    env_id, num_envs, sps, hz = headline
-    print(
-        json.dumps(
-            {
-                "metric": f"env_steps_per_s[{env_id} x{num_envs} {platform}]",
-                "value": round(sps, 1),
-                "unit": "env-steps/s/chip",
-                "vs_baseline": round(sps / (10_000 * hz), 3),
-            }
-        )
-    )
+                          "unit": "env-steps/s/chip", "vs_baseline": 0}),
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -78,11 +78,18 @@ class GymAdapter(gym.Env if gym else object):
     def step(self, action):
         self._state = self._step(self._state, jnp.asarray(action))
         s = self._state
+        truncated = bool(s.truncated)
+        # TimeLimit semantics: the reference registry wraps every env in
+        # gymnasium's TimeLimit (max_episode_steps per family,
+        # gymnasium_robotics/__init__.py:31,107,...)
+        limit = self.env.max_episode_steps
+        if limit is not None and int(s.steps) >= limit:
+            truncated = True
         return (
             _cast_to_space(s.obs, self.observation_space),
             float(s.reward),
             bool(s.terminated),
-            bool(s.truncated),
+            truncated,
             _to_np(s.info),
         )
 

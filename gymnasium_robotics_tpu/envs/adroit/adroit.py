@@ -390,9 +390,12 @@ def register_adroit_envs(register):
     }
     for name, cls in classes.items():
         for suffix, rt in (("", "dense"), ("Sparse", "sparse")):
-            register(
-                id=f"{name}{suffix}-v1",
-                entry_point=cls,
-                max_episode_steps=200,
-                kwargs={"reward_type": rt},
-            )
+            # v2 is the reference's registered version
+            # (gymnasium_robotics/__init__.py:1083-1117); v1 kept as an alias.
+            for version in ("v1", "v2"):
+                register(
+                    id=f"{name}{suffix}-{version}",
+                    entry_point=cls,
+                    max_episode_steps=200,
+                    kwargs={"reward_type": rt},
+                )

@@ -48,7 +48,7 @@ class KitchenEnv(core.GoalEnv):
 
     def __init__(
         self,
-        tasks_to_complete=("microwave", "kettle"),
+        tasks_to_complete=None,  # default: ALL 7 tasks (kitchen_env.py:235)
         terminate_on_tasks_completed=True,
         remove_task_when_completed=True,
         object_noise_ratio=0.0005,
@@ -56,6 +56,8 @@ class KitchenEnv(core.GoalEnv):
         max_episode_steps=None,
         dtype=jnp.float32,
     ):
+        if tasks_to_complete is None:
+            tasks_to_complete = tuple(OBS_ELEMENT_GOALS)
         self.tasks = tuple(tasks_to_complete)
         for t in self.tasks:
             if t not in OBS_ELEMENT_GOALS:

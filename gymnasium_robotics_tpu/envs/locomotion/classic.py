@@ -138,7 +138,9 @@ class InvertedDoublePendulumEnv(LocomotionEnv):
         super().__init__(cfg, max_episode_steps=max_episode_steps, dtype=dtype)
 
     def _obs_dim(self):
-        return 10
+        # 1 cart pos + sin/cos of 2 hinges + 3 qvel + 1 constraint force
+        # (gymnasium v5's documented 9-dim obs)
+        return 9
 
     def _get_obs(self, data):
         return jnp.concatenate(

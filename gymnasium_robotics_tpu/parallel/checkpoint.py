@@ -25,16 +25,28 @@ def _flatten(state):
 
 
 def save_state(state: Any, path: str) -> None:
-    """Save an EnvState (or any pytree of arrays) to ``path``."""
-    try:
-        import orbax.checkpoint as ocp
+    """Save an EnvState (or any pytree of arrays) to ``path``.
 
-        ckpt = ocp.PyTreeCheckpointer()
-        ckpt.save(os.path.abspath(path), _to_savable(state), force=True)
-        return
-    except Exception:
-        pass
-    leaves, treedef = _flatten(_to_savable(state))
+    An explicit ``.npz`` path selects the numpy format; otherwise orbax is
+    used when importable. Real save errors propagate — only a missing orbax
+    falls back to npz (ADVICE r1: never swallow genuine I/O failures).
+    Pytrees containing zero-size leaves (e.g. ``Data.act`` on models with no
+    stateful actuators) are routed to npz deterministically: orbax rejects
+    empty arrays by design."""
+    savable = _to_savable(state)
+    has_empty = any(
+        getattr(x, "size", 1) == 0 for x in jax.tree_util.tree_leaves(savable)
+    )
+    if not path.endswith(".npz") and not has_empty:
+        try:
+            import orbax.checkpoint as ocp
+        except ImportError:
+            ocp = None
+        if ocp is not None:
+            ckpt = ocp.PyTreeCheckpointer()
+            ckpt.save(os.path.abspath(path), savable, force=True)
+            return
+    leaves, treedef = _flatten(savable)
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     np.savez(path if path.endswith(".npz") else path + ".npz", **arrays)
@@ -43,17 +55,16 @@ def save_state(state: Any, path: str) -> None:
 def restore_state(template: Any, path: str) -> Any:
     """Restore a checkpoint into the structure of ``template`` (e.g. the
     state returned by ``env.reset``/``initial``) — dtypes and key-ness are
-    recovered from the template."""
-    try:
+    recovered from the template. Format is detected from what exists on
+    disk; restore errors propagate."""
+    npz_path = path if path.endswith(".npz") else path + ".npz"
+    if not os.path.exists(npz_path):
         import orbax.checkpoint as ocp
 
         ckpt = ocp.PyTreeCheckpointer()
         raw = ckpt.restore(os.path.abspath(path))
         return _from_savable(template, raw)
-    except Exception:
-        pass
-    p = path if path.endswith(".npz") else path + ".npz"
-    z = np.load(p)
+    z = np.load(npz_path)
     leaves, treedef = _flatten(_to_savable(template))
     restored = [jnp.asarray(z[f"leaf_{i}"]) for i in range(len(leaves))]
     return _from_savable(

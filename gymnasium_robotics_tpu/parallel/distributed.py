@@ -8,6 +8,7 @@ along it); trajectory egress and metric reductions are the only collectives.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -36,13 +37,30 @@ def global_mesh(axis: str = "env"):
 
 
 def psum_metrics(tree, mesh, axis: str = "env"):
-    """Mean-reduce a metrics pytree across the mesh (compiles to an XLA
-    psum over ICI/DCN)."""
+    """Mean-reduce a metrics pytree across the mesh. Each leaf is laid out
+    (or re-laid out) with its leading batch axis sharded over ``axis``; the
+    reduction is an explicit ``lax.pmean`` inside ``shard_map`` so it
+    compiles to an XLA collective riding ICI/DCN — the global mean, not the
+    local shard mean, even multi-host. Leaves must be evenly divisible by
+    the mesh size along the batch axis (the batched-env invariant)."""
+    from jax.experimental.shard_map import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    sharding = NamedSharding(mesh, P(axis))
+    tree = jax.tree_util.tree_map(
+        lambda x: jax.device_put(jnp.asarray(x), sharding), tree
+    )
+
     @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=P(axis), out_specs=P(), check_rep=False
+    )
     def _reduce(t):
-        return jax.tree_util.tree_map(lambda x: jnp.mean(x), t)
+        # local mean over the shard, then pmean across devices: exact global
+        # mean under the even-shard invariant
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.pmean(jnp.mean(x), axis), t
+        )
 
     return jax.device_get(_reduce(tree))
 

@@ -54,7 +54,9 @@ def rollout(
     scan runs SPMD (collectives only at user-initiated metric reductions).
     """
     rng = jax.random.key(0) if rng is None else rng
-    cache_key = (id(env), num_envs, num_steps, id(policy), sharding, collect)
+    # key on the objects themselves (strong refs): prevents a recycled id()
+    # from hitting a stale compiled rollout closed over a dead env
+    cache_key = (env, num_envs, num_steps, policy, sharding, collect)
     if cache_key in _ROLLOUT_CACHE:
         return _ROLLOUT_CACHE[cache_key](rng)
     lo = jnp.asarray(env.action_space.low)
