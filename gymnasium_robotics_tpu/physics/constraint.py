@@ -116,6 +116,17 @@ def _jac(m, d, mask_b, point, body):
     return jacp.T, jacr.T  # (3, nv)
 
 
+def _jac_idx(m, d, mask_b, point, body):
+    """_jac with a traced body index (vmap-friendly: rootid via gather)."""
+    rootid = jnp.asarray(np.array(m.meta.body_rootid))
+    o = d.subtree_com[rootid[body]]
+    offset = point - o
+    jacp = d.cdof[:, 3:] + jnp.cross(d.cdof[:, :3], offset[None, :])
+    jacp = jacp * mask_b[:, None]
+    jacr = d.cdof[:, :3] * mask_b[:, None]
+    return jacp.T, jacr.T  # (3, nv)
+
+
 def build_rows(m: T.Model, d: T.Data):
     """Assemble J, pos, solref, solimp, invweight, active, is_equality arrays."""
     mt = m.meta
@@ -136,43 +147,54 @@ def build_rows(m: T.Model, d: T.Data):
         active.append(act)
         is_eq.append(eq)
 
-    # --- equality constraints
+    # --- equality constraints, vectorized per type group (static membership)
+    eq_groups: dict = {}
     for e in range(mt.neq):
-        et = mt.eq_type[e]
-        sr, si = m.eq_solref[e], m.eq_solimp[e]
-        act = d.eq_active[e]
-        if et == T.EQ_CONNECT:
-            b1, b2 = mt.eq_obj1id[e], mt.eq_obj2id[e]
-            anchor1 = m.eq_data[e, 0:3]
-            anchor2 = m.eq_data[e, 3:6]
-            p1 = d.xpos[b1] + d.xmat[b1] @ anchor1
-            p2 = d.xpos[b2] + d.xmat[b2] @ anchor2
-            jp1, _ = _jac(m, d, masks[b1], p1, b1)
-            jp2, _ = _jac(m, d, masks[b2], p2, b2)
-            Jr = jp1 - jp2
-            err = p1 - p2
-            iw = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
-            nrm = jnp.linalg.norm(err)
+        eq_groups.setdefault(mt.eq_type[e], []).append(e)
+
+    if T.EQ_CONNECT in eq_groups:
+        es = np.array(eq_groups[T.EQ_CONNECT])
+        b1 = np.array([mt.eq_obj1id[e] for e in es])
+        b2 = np.array([mt.eq_obj2id[e] for e in es])
+        a1 = m.eq_data[es, 0:3]
+        a2 = m.eq_data[es, 3:6]
+        p1 = d.xpos[b1] + jnp.einsum("kij,kj->ki", d.xmat[b1], a1)
+        p2 = d.xpos[b2] + jnp.einsum("kij,kj->ki", d.xmat[b2], a2)
+        jp1 = jax.vmap(lambda mk, p, b: _jac_idx(m, d, mk, p, b)[0])(
+            masks[b1], p1, jnp.asarray(b1)
+        )
+        jp2 = jax.vmap(lambda mk, p, b: _jac_idx(m, d, mk, p, b)[0])(
+            masks[b2], p2, jnp.asarray(b2)
+        )
+        Jr = jp1 - jp2                     # (k, 3, nv)
+        err = p1 - p2                      # (k, 3)
+        iw = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
+        nrm = jnp.linalg.norm(err, axis=-1)
+        for i, e in enumerate(es):
             for k in range(3):
-                add(Jr[k], err[k], sr, si, iw, act, True, p_imp=nrm)
-        elif et == T.EQ_WELD:
+                add(
+                    Jr[i, k], err[i, k], m.eq_solref[e], m.eq_solimp[e],
+                    iw[i], d.eq_active[e], True, p_imp=nrm[i],
+                )
+    if T.EQ_WELD in eq_groups:
+        es = np.array(eq_groups[T.EQ_WELD])
+        b1 = np.array([mt.eq_obj1id[e] for e in es])
+        b2 = np.array([mt.eq_obj2id[e] for e in es])
+
+        def _weld_rows(mk1, mk2, b1i, b2i, eqd, xp1, xp2, xm1, xm2, q1, q2):
             # residuals calibrated against mjData.efc_pos/efc_J:
-            #   position: (x1 + R1 a1) - (x2 + R2 a2),  a1 = data[0:3], a2 = data[3:6]
-            #   rotation: torquescale * vec(conj(q2 relq) q1), Jacobian through
+            #   position: (x1 + R1 a1) - (x2 + R2 a2)
+            #   rotation: torquescale * vec(conj(q2 relq) q1), Jacobian via
             #   d/dt vec(qerr) = 0.5 vec(conj(q2t) (0, w1-w2) q1)
-            b1, b2 = mt.eq_obj1id[e], mt.eq_obj2id[e]
-            anchor1 = m.eq_data[e, 0:3]
-            anchor2 = m.eq_data[e, 3:6]
-            relpose_q = m.eq_data[e, 6:10]
-            torquescale = m.eq_data[e, 10]
-            p1 = d.xpos[b1] + d.xmat[b1] @ anchor1
-            p2 = d.xpos[b2] + d.xmat[b2] @ anchor2
-            jp1, jr1 = _jac(m, d, masks[b1], p1, b1)
-            jp2, jr2 = _jac(m, d, masks[b2], p2, b2)
+            anchor1, anchor2 = eqd[0:3], eqd[3:6]
+            relpose_q, torquescale = eqd[6:10], eqd[10]
+            p1 = xp1 + xm1 @ anchor1
+            p2 = xp2 + xm2 @ anchor2
+            jp1, jr1 = _jac_idx(m, d, mk1, p1, b1i)
+            jp2, jr2 = _jac_idx(m, d, mk2, p2, b2i)
             Jp = jp1 - jp2
             err_p = p1 - p2
-            q1 = d.xquat[b1]
-            q2t = gm.quat_mul(d.xquat[b2], relpose_q)
+            q2t = gm.quat_mul(q2, relpose_q)
             qerr = gm.quat_mul(gm.quat_conj(q2t), q1)
             err_q = qerr[1:4] * torquescale
             eye3 = jnp.eye(3, dtype=dtype)
@@ -180,19 +202,31 @@ def build_rows(m: T.Model, d: T.Data):
 
             def _Av(v):
                 return gm.quat_mul(
-                    gm.quat_mul(gm.quat_conj(q2t), jnp.concatenate([zero1, v])), q1
+                    gm.quat_mul(gm.quat_conj(q2t), jnp.concatenate([zero1, v])),
+                    q1,
                 )[1:4]
 
             A = jnp.stack([_Av(eye3[k]) for k in range(3)], axis=1)
             Jr = 0.5 * torquescale * (A @ (jr1 - jr2))
-            iw_t = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
-            iw_r = m.body_invweight0[b1, 1] + m.body_invweight0[b2, 1]
             nrm = jnp.linalg.norm(jnp.concatenate([err_p, err_q]))
+            return Jp, err_p, Jr, err_q, nrm
+
+        Jp, err_p, Jr, err_q, nrm = jax.vmap(_weld_rows)(
+            masks[b1], masks[b2], jnp.asarray(b1), jnp.asarray(b2),
+            m.eq_data[es], d.xpos[b1], d.xpos[b2], d.xmat[b1], d.xmat[b2],
+            d.xquat[b1], d.xquat[b2],
+        )
+        iw_t = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
+        iw_r = m.body_invweight0[b1, 1] + m.body_invweight0[b2, 1]
+        for i, e in enumerate(es):
             for k in range(3):
-                add(Jp[k], err_p[k], sr, si, iw_t, act, True, p_imp=nrm)
+                add(Jp[i, k], err_p[i, k], m.eq_solref[e], m.eq_solimp[e],
+                    iw_t[i], d.eq_active[e], True, p_imp=nrm[i])
             for k in range(3):
-                add(Jr[k], err_q[k], sr, si, iw_r, act, True, p_imp=nrm)
-        elif et == T.EQ_JOINT:
+                add(Jr[i, k], err_q[i, k], m.eq_solref[e], m.eq_solimp[e],
+                    iw_r[i], d.eq_active[e], True, p_imp=nrm[i])
+    if T.EQ_JOINT in eq_groups:
+        for e in eq_groups[T.EQ_JOINT]:
             j1, j2 = mt.eq_obj1id[e], mt.eq_obj2id[e]
             data = m.eq_data[e]
             q1 = d.qpos[mt.jnt_qposadr[j1]] - m.qpos0[mt.jnt_qposadr[j1]]
@@ -212,47 +246,62 @@ def build_rows(m: T.Model, d: T.Data):
                 err = q1 - poly
             else:
                 err = q1 - data[0]
-            iw = m.dof_invweight0[da1]
-            add(row, err, sr, si, iw, act, True)
-        elif et == T.EQ_TENDON:
+            add(row, err, m.eq_solref[e], m.eq_solimp[e],
+                m.dof_invweight0[da1], d.eq_active[e], True)
+    if T.EQ_TENDON in eq_groups:
+        for e in eq_groups[T.EQ_TENDON]:
             t1 = mt.eq_obj1id[e]
             err = d.ten_length[t1] - m.eq_data[e, 0]
-            add(d.ten_J[t1], err, sr, si, m.tendon_invweight0[t1], act, True)
+            add(d.ten_J[t1], err, m.eq_solref[e], m.eq_solimp[e],
+                m.tendon_invweight0[t1], d.eq_active[e], True)
 
-    # --- joint limits (one row, nearest side)
-    for j in range(mt.njnt):
-        if not mt.jnt_limited[j] or mt.opt.disable_limit:
-            continue
-        jt = mt.jnt_type[j]
-        qadr, dadr = mt.jnt_qposadr[j], mt.jnt_dofadr[j]
-        margin = m.jnt_margin[j]
-        if jt in (T.HINGE, T.SLIDE):
-            q = d.qpos[qadr]
-            dist_lo = q - m.jnt_range[j, 0]
-            dist_hi = m.jnt_range[j, 1] - q
-            lo_closer = dist_lo < dist_hi
-            dist = jnp.where(lo_closer, dist_lo, dist_hi)
-            sign = jnp.where(lo_closer, 1.0, -1.0)
-            row = jnp.zeros(mt.nv, dtype).at[dadr].set(1.0) * sign
-            act = dist < margin
+    # --- joint limits (one row, nearest side), one vectorized block over the
+    # static limited-joint set (hand: 22 limited joints -> 1 gather + 1 scatter)
+    lim = [
+        j for j in range(mt.njnt)
+        if mt.jnt_limited[j] and not mt.opt.disable_limit
+        and mt.jnt_type[j] in (T.HINGE, T.SLIDE)
+    ]  # ball-joint limits unused by the target model families
+    n_jlim = len(lim)
+    if n_jlim:
+        ji = jnp.asarray(np.array(lim))
+        qi = jnp.asarray(np.array([mt.jnt_qposadr[j] for j in lim]))
+        di = np.array([mt.jnt_dofadr[j] for j in lim])
+        q = d.qpos[qi]
+        dist_lo = q - m.jnt_range[ji, 0]
+        dist_hi = m.jnt_range[ji, 1] - q
+        lo_closer = dist_lo < dist_hi
+        dist = jnp.where(lo_closer, dist_lo, dist_hi)
+        sign = jnp.where(lo_closer, 1.0, -1.0).astype(dtype)
+        margin = m.jnt_margin[ji]
+        rows = jnp.zeros((n_jlim, mt.nv), dtype).at[
+            (jnp.arange(n_jlim), jnp.asarray(di))
+        ].set(sign)
+        for i, j in enumerate(lim):
             add(
-                row, dist - margin, m.jnt_solref[j], m.jnt_solimp[j],
-                m.dof_invweight0[dadr], act, False,
+                rows[i], dist[i] - margin[i], m.jnt_solref[j], m.jnt_solimp[j],
+                m.dof_invweight0[di[i]], dist[i] < margin[i], False,
             )
-        # ball-joint limits unused by the target model families
 
-    # --- tendon limits (two rows: low, high)
-    for t in range(mt.ntendon):
-        if not mt.tendon_limited[t] or mt.opt.disable_limit:
-            continue
-        margin = m.tendon_margin[t]
-        length = d.ten_length[t]
-        sr, si = m.tendon_solref_lim[t], m.tendon_solimp_lim[t]
-        iw = m.tendon_invweight0[t]
-        dist_lo = length - m.tendon_range[t, 0]
-        add(d.ten_J[t], dist_lo - margin, sr, si, iw, dist_lo < margin, False)
-        dist_hi = m.tendon_range[t, 1] - length
-        add(-d.ten_J[t], dist_hi - margin, sr, si, iw, dist_hi < margin, False)
+    # --- tendon limits (two rows: low, high), vectorized over the static
+    # limited-tendon set
+    tlim = [
+        t for t in range(mt.ntendon)
+        if mt.tendon_limited[t] and not mt.opt.disable_limit
+    ]
+    if tlim:
+        ti = jnp.asarray(np.array(tlim))
+        margin = m.tendon_margin[ti]
+        length = d.ten_length[ti]
+        dist_lo = length - m.tendon_range[ti, 0]
+        dist_hi = m.tendon_range[ti, 1] - length
+        for i, t in enumerate(tlim):
+            add(d.ten_J[t], dist_lo[i] - margin[i], m.tendon_solref_lim[t],
+                m.tendon_solimp_lim[t], m.tendon_invweight0[t],
+                dist_lo[i] < margin[i], False)
+            add(-d.ten_J[t], dist_hi[i] - margin[i], m.tendon_solref_lim[t],
+                m.tendon_solimp_lim[t], m.tendon_invweight0[t],
+                dist_hi[i] < margin[i], False)
 
     # --- contacts (pyramidal cone), vectorized over slots with optional
     # top-K capping per condim group: only the K deepest candidate slots get

@@ -310,46 +310,55 @@ def tendon(m: T.Model, d: T.Data) -> T.Data:
             ten_J=jnp.zeros((0, mt.nv), dtype),
         )
     kinds = mt.tendon_kind or ("fixed",) * mt.ntendon
-    lengths = []
-    rows = []
+    # fixed tendons: one scatter-add over all wrap entries (static indices),
+    # replacing the per-tendon loop (hand: 44 tendons -> 2 kernels)
+    w_idx, w_qadr, w_dadr, w_ten = [], [], [], []
     for t in range(mt.ntendon):
-        adr, num = mt.tendon_adr[t], mt.tendon_num[t]
-        length = jnp.zeros((), dtype)
-        row = jnp.zeros(mt.nv, dtype)
         if kinds[t] == "spatial2":
-            # straight site-to-site spatial tendon (CoupledHalfCheetah's
-            # elastic coupling, reference assets/coupled_half_cheetah.xml:143)
-            from gymnasium_robotics_tpu.physics.constraint import _body_dof_masks
+            continue
+        adr, num = mt.tendon_adr[t], mt.tendon_num[t]
+        for w in range(adr, adr + num):
+            j = mt.wrap_objid[w]
+            w_idx.append(w)
+            w_qadr.append(mt.jnt_qposadr[j])
+            w_dadr.append(mt.jnt_dofadr[j])
+            w_ten.append(t)
+    ten_length = jnp.zeros(mt.ntendon, dtype)
+    ten_J = jnp.zeros((mt.ntendon, mt.nv), dtype)
+    if w_idx:
+        wi = jnp.asarray(np.array(w_idx))
+        coefs = m.wrap_prm[wi].astype(dtype)
+        wt = jnp.asarray(np.array(w_ten))
+        ten_length = ten_length.at[wt].add(
+            coefs * d.qpos[jnp.asarray(np.array(w_qadr))]
+        )
+        ten_J = ten_J.at[(wt, jnp.asarray(np.array(w_dadr)))].add(coefs)
+    for t in range(mt.ntendon):
+        if kinds[t] != "spatial2":
+            continue
+        adr = mt.tendon_adr[t]
+        # straight site-to-site spatial tendon (CoupledHalfCheetah's
+        # elastic coupling, reference assets/coupled_half_cheetah.xml:143)
+        from gymnasium_robotics_tpu.physics.constraint import _body_dof_masks
 
-            s0, s1 = mt.wrap_objid[adr], mt.wrap_objid[adr + 1]
-            p0, p1 = d.site_xpos[s0], d.site_xpos[s1]
-            dvec = p1 - p0
-            L = jnp.linalg.norm(dvec)
-            direction = dvec / jnp.maximum(L, 1e-10)
-            masks = _body_dof_masks(mt)
+        s0, s1 = mt.wrap_objid[adr], mt.wrap_objid[adr + 1]
+        p0, p1 = d.site_xpos[s0], d.site_xpos[s1]
+        dvec = p1 - p0
+        L = jnp.linalg.norm(dvec)
+        direction = dvec / jnp.maximum(L, 1e-10)
+        masks = _body_dof_masks(mt)
 
-            def jacp(site, body):
-                mk = jnp.asarray(masks[body], dtype)
-                o = d.subtree_com[mt.body_rootid[body]]
-                off = d.site_xpos[site] - o
-                return (
-                    d.cdof[:, 3:] + jnp.cross(d.cdof[:, :3], off[None, :])
-                ) * mk[:, None]
+        def jacp(site, body):
+            mk = jnp.asarray(masks[body], dtype)
+            o = d.subtree_com[mt.body_rootid[body]]
+            off = d.site_xpos[site] - o
+            return (
+                d.cdof[:, 3:] + jnp.cross(d.cdof[:, :3], off[None, :])
+            ) * mk[:, None]
 
-            b0, b1 = mt.site_bodyid[s0], mt.site_bodyid[s1]
-            row = (jacp(s1, b1) - jacp(s0, b0)) @ direction
-            length = L
-        else:
-            for w in range(adr, adr + num):
-                j = mt.wrap_objid[w]
-                coef = m.wrap_prm[w]
-                qadr, dadr = mt.jnt_qposadr[j], mt.jnt_dofadr[j]
-                length = length + coef * d.qpos[qadr]
-                row = row.at[dadr].add(coef)
-        lengths.append(length)
-        rows.append(row)
-    ten_J = jnp.stack(rows)
-    ten_length = jnp.stack(lengths)
+        b0, b1 = mt.site_bodyid[s0], mt.site_bodyid[s1]
+        ten_J = ten_J.at[t].set((jacp(s1, b1) - jacp(s0, b0)) @ direction)
+        ten_length = ten_length.at[t].set(L)
     return _replace(
         d, ten_length=ten_length, ten_velocity=ten_J @ d.qvel, ten_J=ten_J
     )
@@ -366,38 +375,57 @@ DYN_NONE, DYN_INTEGRATOR, DYN_FILTER, DYN_FILTEREXACT = 0, 1, 2, 3
 
 
 def transmission(m: T.Model, d: T.Data) -> tuple:
-    """Returns (actuator_length (nu,), moment (nu, nv))."""
+    """Returns (actuator_length (nu,), moment (nu, nv)).
+
+    Vectorized over actuator groups with static index tables (replacing the
+    per-actuator loop: hand nu=20, adroit nu=28 -> a handful of scatters)."""
     mt = m.meta
     dtype = d.qpos.dtype
-    lengths, moments = [], []
+    if not mt.nu:
+        return jnp.zeros(0, dtype), jnp.zeros((0, mt.nv), dtype)
+    length = jnp.zeros(mt.nu, dtype)
+    moment = jnp.zeros((mt.nu, mt.nv), dtype)
+
+    # 1-dof joint transmissions
+    u_1d, q_1d, d_1d = [], [], []
+    # free/ball joint transmissions: flattened (u, dof, gear-column) triples
+    u_fb, d_fb, k_fb = [], [], []
+    u_t, tid_t = [], []
     for u in range(mt.nu):
         trn = mt.actuator_trntype[u]
         tid = mt.actuator_trnid[u]
-        gear = m.actuator_gear[u]
-        row = jnp.zeros(mt.nv, dtype)
         if trn in (TRN_JOINT, TRN_JOINTINPARENT):
             jt = mt.jnt_type[tid]
-            qadr, dadr = mt.jnt_qposadr[tid], mt.jnt_dofadr[tid]
             if jt in (T.SLIDE, T.HINGE):
-                length = (d.qpos[qadr] - m.qpos0[qadr]) * gear[0]
-                row = row.at[dadr].set(gear[0])
+                u_1d.append(u)
+                q_1d.append(mt.jnt_qposadr[tid])
+                d_1d.append(mt.jnt_dofadr[tid])
             else:
-                # free/ball joint actuation: wrench gear on all dofs
-                ndof = T.JNT_DOF_WIDTH[jt]
-                length = jnp.zeros((), dtype)
-                for k in range(ndof):
-                    g = gear[k] if jt == T.FREE else gear[k]
-                    row = row.at[dadr + k].set(g)
+                for k in range(T.JNT_DOF_WIDTH[jt]):
+                    u_fb.append(u)
+                    d_fb.append(mt.jnt_dofadr[tid] + k)
+                    k_fb.append(k)
         elif trn == TRN_TENDON:
-            length = d.ten_length[tid] * gear[0]
-            row = d.ten_J[tid] * gear[0]
-        else:
-            length = jnp.zeros((), dtype)
-        lengths.append(length)
-        moments.append(row)
-    if mt.nu:
-        return jnp.stack(lengths), jnp.stack(moments)
-    return jnp.zeros(0, dtype), jnp.zeros((0, mt.nv), dtype)
+            u_t.append(u)
+            tid_t.append(tid)
+    if u_1d:
+        ui = jnp.asarray(np.array(u_1d))
+        qi = jnp.asarray(np.array(q_1d))
+        g0 = m.actuator_gear[ui, 0].astype(dtype)
+        length = length.at[ui].set((d.qpos[qi] - m.qpos0[qi]) * g0)
+        moment = moment.at[(ui, jnp.asarray(np.array(d_1d)))].set(g0)
+    if u_fb:
+        ui = jnp.asarray(np.array(u_fb))
+        moment = moment.at[(ui, jnp.asarray(np.array(d_fb)))].set(
+            m.actuator_gear[(ui, jnp.asarray(np.array(k_fb)))].astype(dtype)
+        )
+    if u_t:
+        ui = jnp.asarray(np.array(u_t))
+        ti = jnp.asarray(np.array(tid_t))
+        g0 = m.actuator_gear[ui, 0].astype(dtype)
+        length = length.at[ui].set(d.ten_length[ti] * g0)
+        moment = moment.at[ui].set(d.ten_J[ti] * g0[:, None])
+    return length, moment
 
 
 def fwd_actuation(m: T.Model, d: T.Data) -> T.Data:
@@ -423,31 +451,25 @@ def fwd_actuation(m: T.Model, d: T.Data) -> T.Data:
             ctrl,
         )
 
-    # actuator dynamics input
-    inputs = []
-    for u in range(mt.nu):
-        dyn = mt.actuator_dyntype[u]
-        if dyn == DYN_NONE:
-            inputs.append(ctrl[u])
-        else:
-            inputs.append(d.act[mt.actuator_actadr[u]])
-    inp = jnp.stack(inputs)
+    # actuator dynamics input / gain / bias — all elementwise over nu with
+    # static type masks (replacing three per-actuator loops)
+    dyn_none = jnp.asarray(
+        np.array(mt.actuator_dyntype) == DYN_NONE
+    )
+    actadr = jnp.asarray(np.maximum(np.array(mt.actuator_actadr), 0))
+    inp = jnp.where(
+        dyn_none, ctrl, d.act[actadr] if mt.na else jnp.zeros(mt.nu, dtype)
+    )
 
-    gain = jnp.zeros(mt.nu, dtype)
-    bias = jnp.zeros(mt.nu, dtype)
-    for u in range(mt.nu):
-        gt, bt = mt.actuator_gaintype[u], mt.actuator_biastype[u]
-        gp, bp = m.actuator_gainprm[u], m.actuator_biasprm[u]
-        if gt == GAIN_FIXED:
-            g = gp[0]
-        else:  # affine
-            g = gp[0] + gp[1] * length[u] + gp[2] * velocity[u]
-        if bt == BIAS_NONE:
-            b = jnp.zeros((), dtype)
-        else:
-            b = bp[0] + bp[1] * length[u] + bp[2] * velocity[u]
-        gain = gain.at[u].set(g)
-        bias = bias.at[u].set(b)
+    gp, bp = m.actuator_gainprm, m.actuator_biasprm
+    gain_fixed = jnp.asarray(np.array(mt.actuator_gaintype) == GAIN_FIXED)
+    bias_none = jnp.asarray(np.array(mt.actuator_biastype) == BIAS_NONE)
+    gain = jnp.where(
+        gain_fixed, gp[:, 0], gp[:, 0] + gp[:, 1] * length + gp[:, 2] * velocity
+    ).astype(dtype)
+    bias = jnp.where(
+        bias_none, 0.0, bp[:, 0] + bp[:, 1] * length + bp[:, 2] * velocity
+    ).astype(dtype)
 
     force = gain * inp + bias
     flimited = jnp.asarray(mt.actuator_forcelimited, bool)
@@ -472,18 +494,17 @@ def act_dot(m: T.Model, d: T.Data) -> jax.Array:
     dtype = d.qpos.dtype
     if not mt.na:
         return jnp.zeros(0, dtype)
-    out = jnp.zeros(mt.na, dtype)
-    for u in range(mt.nu):
-        dyn = mt.actuator_dyntype[u]
-        if dyn == DYN_NONE:
-            continue
-        aadr = mt.actuator_actadr[u]
-        if dyn == DYN_INTEGRATOR:
-            out = out.at[aadr].set(d.ctrl[u])
-        elif dyn in (DYN_FILTER, DYN_FILTEREXACT):
-            tau = jnp.maximum(m.actuator_dynprm[u, 0], 1e-8)
-            out = out.at[aadr].set((d.ctrl[u] - d.act[aadr]) / tau)
-    return out
+    sel = [u for u in range(mt.nu) if mt.actuator_dyntype[u] != DYN_NONE]
+    ui = jnp.asarray(np.array(sel))
+    aadr = jnp.asarray(np.array([mt.actuator_actadr[u] for u in sel]))
+    is_integ = jnp.asarray(
+        np.array([mt.actuator_dyntype[u] == DYN_INTEGRATOR for u in sel])
+    )
+    tau = jnp.maximum(m.actuator_dynprm[ui, 0], 1e-8)
+    vals = jnp.where(
+        is_integ, d.ctrl[ui], (d.ctrl[ui] - d.act[aadr]) / tau
+    ).astype(dtype)
+    return jnp.zeros(mt.na, dtype).at[aadr].set(vals)
 
 
 # ---------------------------------------------------------------------------
@@ -495,16 +516,16 @@ def fwd_passive(m: T.Model, d: T.Data) -> T.Data:
     dtype = d.qpos.dtype
     qfrc = -m.dof_damping * d.qvel
 
-    # joint springs (hinge/slide only; ball/free springs unused by target models)
-    spring = jnp.zeros(mt.nv, dtype)
-    for j in range(mt.njnt):
-        jt = mt.jnt_type[j]
-        if jt in (T.HINGE, T.SLIDE):
-            qadr, dadr = mt.jnt_qposadr[j], mt.jnt_dofadr[j]
-            spring = spring.at[dadr].add(
-                -m.jnt_stiffness[j] * (d.qpos[qadr] - m.qpos_spring[qadr])
-            )
-    qfrc = qfrc + spring
+    # joint springs (hinge/slide only; ball/free springs unused by target
+    # models) — one scatter over the static 1-dof joint set
+    sel = [j for j in range(mt.njnt) if mt.jnt_type[j] in (T.HINGE, T.SLIDE)]
+    if sel:
+        ji = jnp.asarray(np.array(sel))
+        qi = jnp.asarray(np.array([mt.jnt_qposadr[j] for j in sel]))
+        di = jnp.asarray(np.array([mt.jnt_dofadr[j] for j in sel]))
+        qfrc = qfrc.at[di].add(
+            -m.jnt_stiffness[ji] * (d.qpos[qi] - m.qpos_spring[qi])
+        )
 
     if mt.ntendon:
         # tendon spring-dampers
