@@ -126,12 +126,21 @@ class GymAdapter(gym.Env if gym else object):
         return self
 
     # env-state checkpointing (analogue of Adroit get/set_env_state,
-    # reference adroit_door.py:373-392; here it is total for every family)
+    # reference adroit_door.py:373-392; total for every family). Families
+    # that define the reference's dict API (Adroit) speak it here too; the
+    # full EnvState pytree round-trips everywhere.
     def get_env_state(self):
+        fn = getattr(self.env, "get_env_state", None)
+        if fn is not None:
+            return jax.device_get(fn(self._state))
         return jax.device_get(self._state)
 
     def set_env_state(self, state):
-        self._state = jax.device_put(state)
+        fn = getattr(self.env, "set_env_state", None)
+        if fn is not None and isinstance(state, dict):
+            self._state = fn(self._state, state)
+        else:
+            self._state = jax.device_put(state)
 
 
 def _freeze_options(options: dict):

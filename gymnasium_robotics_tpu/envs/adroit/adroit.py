@@ -139,6 +139,37 @@ class AdroitEnv(core.FunctionalEnv):
             info={"success": success}, rng=rng, steps=state.steps + 1,
         )
 
+    # --- full-scene state checkpoint dicts (reference get_env_state/
+    # set_env_state, adroit_door.py:373-392; per-task keys below) ---
+    def _aux_to_state_dict(self, state):
+        raise NotImplementedError
+
+    def _state_dict_to_aux(self, state_dict, aux):
+        raise NotImplementedError
+
+    def get_env_state(self, state):
+        """State dict with the reference's keys (qpos/qvel + scene fields)."""
+        d = {"qpos": state.data.qpos, "qvel": state.data.qvel}
+        d.update(self._aux_to_state_dict(state))
+        return d
+
+    def set_env_state(self, state, state_dict):
+        """Pure analogue of the reference's set_env_state: write qpos/qvel,
+        restore the randomized scene fields, recompute kinematics + obs."""
+        aux = self._state_dict_to_aux(state_dict, dict(state.aux))
+        m = self._model_for(aux)
+        data = dataclasses.replace(
+            state.data,
+            qpos=jnp.asarray(state_dict["qpos"], self.dtype),
+            qvel=jnp.asarray(state_dict["qvel"], self.dtype),
+        )
+        data = smooth.kinematics(m, data)
+        data = smooth.com_pos(m, data)
+        obs, _, _ = self._task_obs_reward(
+            m, data, jnp.zeros(self.model.nu, self.dtype)
+        )
+        return dataclasses.replace(state, data=data, obs=obs, aux=aux)
+
 
 class AdroitHandDoorEnv(AdroitEnv):
     task = "door"
@@ -168,6 +199,15 @@ class AdroitHandDoorEnv(AdroitEnv):
             aux["door_body_pos"].astype(self.model.body_pos.dtype)
         )
         return dataclasses.replace(self.model, body_pos=bp)
+
+    def _aux_to_state_dict(self, state):
+        return {"door_body_pos": state.aux["door_body_pos"]}
+
+    def _state_dict_to_aux(self, state_dict, aux):
+        aux["door_body_pos"] = jnp.asarray(
+            state_dict["door_body_pos"], self.dtype
+        )
+        return aux
 
     def _task_obs_reward(self, m, data, action):
         qpos = data.qpos
@@ -205,7 +245,7 @@ class AdroitHandHammerEnv(AdroitEnv):
         self._grasp_site = m.name2id("site", "S_grasp")
         self._tool_site = m.name2id("site", "tool")
         self._nail_site = m.name2id("site", "S_target")
-        self._goal_site = m.name2id("site", "S_target_goal")
+        self._goal_site = m.name2id("site", "nail_goal")
         self._board_body = m.name2id("body", "nail_board")
         self._nail_sensor_adr = m.meta.sensor_adr[
             m.meta.sensor_names.index("S_nail")
@@ -220,6 +260,18 @@ class AdroitHandHammerEnv(AdroitEnv):
             aux["board_z"].astype(self.model.body_pos.dtype)
         )
         return dataclasses.replace(self.model, body_pos=bp)
+
+    def _aux_to_state_dict(self, state):
+        board_pos = self.model.body_pos[self._board_body].astype(self.dtype)
+        board_pos = board_pos.at[2].set(state.aux["board_z"])
+        return {
+            "board_pos": board_pos,
+            "target_pos": state.data.site_xpos[self._nail_site],
+        }
+
+    def _state_dict_to_aux(self, state_dict, aux):
+        aux["board_z"] = jnp.asarray(state_dict["board_pos"], self.dtype)[2]
+        return aux
 
     def _task_obs_reward(self, m, data, action):
         qp = data.qpos
@@ -287,6 +339,15 @@ class AdroitHandPenEnv(AdroitEnv):
         )
         return dataclasses.replace(self.model, body_quat=bq)
 
+    def _aux_to_state_dict(self, state):
+        return {"desired_orien": state.aux["target_quat"]}
+
+    def _state_dict_to_aux(self, state_dict, aux):
+        aux["target_quat"] = jnp.asarray(
+            state_dict["desired_orien"], self.dtype
+        )
+        return aux
+
     def _task_obs_reward(self, m, data, action):
         qpos = data.qpos
         obj_vel = data.qvel[-6:]
@@ -352,6 +413,21 @@ class AdroitHandRelocateEnv(AdroitEnv):
             aux["target_pos"].astype(self.model.site_pos.dtype)
         )
         return dataclasses.replace(self.model, body_pos=bp, site_pos=sp)
+
+    def _aux_to_state_dict(self, state):
+        obj_pos = self.model.body_pos[self._obj_body].astype(self.dtype)
+        obj_pos = obj_pos.at[:2].set(state.aux["obj_xy"])
+        return {
+            "hand_qpos": state.data.qpos[:30],
+            "obj_pos": obj_pos,
+            "palm_pos": state.data.site_xpos[self._grasp_site],
+            "target_pos": state.aux["target_pos"],
+        }
+
+    def _state_dict_to_aux(self, state_dict, aux):
+        aux["obj_xy"] = jnp.asarray(state_dict["obj_pos"], self.dtype)[:2]
+        aux["target_pos"] = jnp.asarray(state_dict["target_pos"], self.dtype)
+        return aux
 
     def _task_obs_reward(self, m, data, action):
         qpos = data.qpos

@@ -10,11 +10,13 @@ HandManipulate 7D pos+quat goals with mode-dependent sampling and the settle-
 based reset (manipulate.py:143-315).
 
 Vectorization note: the reference's reset settle loop (10x20 substeps +
-is_on_palm rejection, manipulate.py:209-224) runs ONCE per env instance at
-``initial()``; in-episode auto-resets restore that settled state and resample
-only the goal. This is the standard batched-RL reset compromise (same as
-Brax/MJX training loops) — full per-episode object re-randomization would make
-every step pay the 200-substep settle inside the masked reset branch.
+is_on_palm rejection, manipulate.py:209-224) is too expensive to run inside
+the masked in-step auto-reset branch (it would add 200 substeps to EVERY
+step). Instead ``initial()`` pre-settles a POOL of ``reset_pool_size``
+independently randomized object poses (vmapped settle), and each in-episode
+reset samples one pool entry — so new episodes start from diverse settled
+poses, matching the reference's per-reset re-randomization distribution
+(manipulate.py:154-224) without paying the settle per step.
 """
 
 from __future__ import annotations
@@ -218,8 +220,10 @@ class HandManipulateEnv(HandBaseEnv):
         randomize_initial_position=True,
         relative_control=False,
         max_episode_steps=None,
+        reset_pool_size=4,
         dtype=jnp.float32,
     ):
+        self.reset_pool_size = int(reset_pool_size)
         self.target_position = target_position
         self.target_rotation = target_rotation
         self.reward_type = reward_type
@@ -341,10 +345,12 @@ class HandManipulateEnv(HandBaseEnv):
         return dict(observation=obs, achieved_goal=achieved, desired_goal=goal)
 
     # --- env API ---
-    def initial(self, rng) -> core.EnvState:
-        """Expensive initial reset: randomize object pose then settle
-        (manipulate.py:154-224: 10 x n_substeps with zero action)."""
-        rng, r_rot, r_pos, r_goal = jax.random.split(rng, 4)
+    def _settle_one(self, rng):
+        """Randomize the object pose then settle (manipulate.py:154-224:
+        10 x n_substeps with zero action); returns (qpos, qvel) of the settled
+        state, falling back to the unrandomized rest pose if the object fell
+        off the palm (the reference's rejection loop, masked)."""
+        r_rot, r_pos = jax.random.split(rng)
         data = pipeline.make_data(self.model, dtype=self.dtype)
         data = dataclasses.replace(
             data, qpos=self._init_qpos, qvel=self._init_qvel
@@ -371,27 +377,39 @@ class HandManipulateEnv(HandBaseEnv):
             self.model, data, zero_ctrl, 10 * self.n_substeps
         )
         on_palm = settled.site_xpos[self._obj_center_site][2] > 0.04
-        # fall back to the unrandomized rest pose if the object fell off
-        data = smooth.kinematics(self.model, data)
-        keep = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(on_palm, a, b), settled, data
+        qpos = jnp.where(on_palm, settled.qpos, data.qpos)
+        qvel = jnp.where(on_palm, settled.qvel, data.qvel)
+        return qpos, qvel
+
+    def initial(self, rng) -> core.EnvState:
+        """Expensive initial reset: pre-settle a pool of independently
+        randomized object poses; resets sample among them (reset diversity
+        matching the reference's per-reset re-randomization)."""
+        rng, r_pool = jax.random.split(rng)
+        pool_qpos, pool_qvel = jax.vmap(self._settle_one)(
+            jax.random.split(r_pool, self.reset_pool_size)
         )
+        data = pipeline.make_data(self.model, dtype=self.dtype)
         state = core.EnvState(
-            data=keep, obs=None, reward=jnp.zeros((), self.dtype),
+            data=data, obs=None, reward=jnp.zeros((), self.dtype),
             terminated=jnp.zeros((), bool), truncated=jnp.zeros((), bool),
             info={"is_success": jnp.zeros((), self.dtype)},
             rng=rng, goal=jnp.zeros(7, self.dtype),
             steps=jnp.zeros((), jnp.int32),
-            aux={"reset_qpos": keep.qpos, "reset_qvel": keep.qvel},
+            aux={"pool_qpos": pool_qpos, "pool_qvel": pool_qvel},
         )
         return self.reset(state, rng)
 
     def reset(self, state, rng):
-        """Cheap reset: restore the settled state, resample the goal."""
-        rng, r_goal = jax.random.split(rng)
+        """Cheap reset: restore a sampled settled pool state, resample the
+        goal (new-episode object poses differ across resets)."""
+        rng, r_goal, r_pool = jax.random.split(rng, 3)
+        j = jax.random.randint(r_pool, (), 0, self.reset_pool_size)
         data = pipeline.make_data(self.model, dtype=self.dtype)
         data = dataclasses.replace(
-            data, qpos=state.aux["reset_qpos"], qvel=state.aux["reset_qvel"]
+            data,
+            qpos=state.aux["pool_qpos"][j],
+            qvel=state.aux["pool_qvel"][j],
         )
         obj = jax.lax.dynamic_slice(data.qpos, (self._obj_qadr,), (7,))
         goal = self._sample_goal(r_goal, obj)

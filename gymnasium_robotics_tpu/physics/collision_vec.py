@@ -1,0 +1,601 @@
+"""SoA batch-last narrowphase: the TPU-native layout for collision.
+
+The AoS path (collision.py, single-env functions under vmap) puts the
+3-component axis of every vector on the TPU lane dimension (3 of 128 lanes
+used -> 42x padding waste); measured on a v5e it is ~90% of the FetchPush
+substep. Here the env batch rides the LANE dimension instead: every vector is
+shape (3, k, B) (components x candidate-pairs x envs), every scalar (k, B),
+so the VPU runs fully occupied and per-slot sorts become unrolled
+selection networks. Semantics are identical to collision.py's primitives
+(same formulas, same slot layout, same contact-frame convention); the env
+batch enters through a custom_vmap rule like the fused Newton solver
+(solver_pallas.py) — single-env calls get B=1.
+
+Replaces the narrowphase the reference reaches through mj_step's
+mj_collision (gymnasium_robotics/envs/robot_env.py:340-341).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gymnasium_robotics_tpu.physics import types as T
+
+_BIG = 1e10
+
+# ---------------------------------------------------------------------------
+# SoA vector helpers: vectors (3, k, B), rotations (3, 3, k, B), scalars (k, B)
+# ---------------------------------------------------------------------------
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=0)
+
+
+def _cross(a, b):
+    return jnp.stack(
+        [
+            a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0],
+        ]
+    )
+
+
+def _norm(a):
+    return jnp.sqrt(jnp.maximum(_dot(a, a), 0.0))
+
+
+def _normalize(a, eps=1e-12):
+    n = _norm(a)
+    return a / jnp.maximum(n, eps)[None], n
+
+
+def _matvec(R, v):
+    # R (3,3,k,B) rows x cols; v (3,k,B)
+    return jnp.stack([_dot(R[i], v) for i in range(3)])
+
+
+def _matTvec(R, v):
+    return jnp.stack([_dot(R[:, i], v) for i in range(3)])
+
+
+def _col(R, i):
+    return R[:, i]
+
+
+def _vec(*comps):
+    return jnp.stack(list(comps))
+
+
+def _where_v(c, a, b):
+    return jnp.where(c[None], a, b)
+
+
+# ---------------------------------------------------------------------------
+# Primitives. Each takes (p1, R1, s1, p2, R2, s2) with p (3,k,B), R (3,3,k,B),
+# s (3,k,1) and returns (dist (S,k,B), pos (S,3,k,B), n (S,3,k,B)[, tan1]).
+# Formula-for-formula ports of collision.py:76-341.
+# ---------------------------------------------------------------------------
+
+
+def _plane_sphere(p1, R1, s1, p2, R2, s2):
+    n = _col(R1, 2)
+    dist = _dot(n, p2 - p1) - s2[0]
+    pos = p2 - n * (s2[0] + 0.5 * dist)[None]
+    return dist[None], pos[None], n[None]
+
+
+def _plane_capsule(p1, R1, s1, p2, R2, s2):
+    n = _col(R1, 2)
+    axis = _col(R2, 2)
+    pn = _dot(p1, n)
+    outs_d, outs_p = [], []
+    for sgn in (1.0, -1.0):
+        e = p2 + axis * (sgn * s2[1])[None]
+        dist = _dot(e, n) - pn - s2[0]
+        pos = e - n * (s2[0] + 0.5 * dist)[None]
+        outs_d.append(dist)
+        outs_p.append(pos)
+    # tan1 = capsule +z axis projected onto the plane (mjc probe convention)
+    proj = axis - n * _dot(n, axis)[None]
+    t1n, nrm = _normalize(proj, 1e-12)
+    tan = jnp.where((nrm > 1e-8)[None], t1n, jnp.nan)
+    return (
+        jnp.stack(outs_d),
+        jnp.stack(outs_p),
+        jnp.stack([n, n]),
+        jnp.stack([tan, tan]),
+    )
+
+
+_CORNER_SIGNS = np.array(
+    [[i, j, k] for i in (-1, 1) for j in (-1, 1) for k in (-1, 1)],
+    dtype=np.float32,
+)
+
+
+def _box_corners(p, R, s):
+    """(8, 3, k, B) world-space corners."""
+    outs = []
+    for c in range(8):
+        sgn = _CORNER_SIGNS[c]
+        off = _vec(sgn[0] * s[0], sgn[1] * s[1], sgn[2] * s[2])
+        off = jnp.broadcast_to(off, (3,) + p.shape[1:])
+        outs.append(p + _matvec(R, off))
+    return jnp.stack(outs)
+
+
+def _take_smallest(dist, payloads, m):
+    """Smallest-m rows of dist (S, k, B) with payload rows selected
+    consistently; replaces argsort[:m] (unrolled repeated-argmin)."""
+    S = dist.shape[0]
+    d = dist
+    iota = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 0)
+    out_d, out_p = [], [[] for _ in payloads]
+    for _ in range(m):
+        i = jnp.argmin(d, axis=0)  # (k, B)
+        onehot = (iota == i[None]).astype(dist.dtype)  # (S, k, B)
+        out_d.append(jnp.sum(dist * onehot, axis=0))
+        for pi, p in enumerate(payloads):
+            out_p[pi].append(jnp.sum(p * onehot[:, None], axis=0))
+        d = d + onehot * (2.0 * _BIG)
+    return jnp.stack(out_d), [jnp.stack(p) for p in out_p]
+
+
+def _plane_box(p1, R1, s1, p2, R2, s2):
+    n = _col(R1, 2)
+    corners = _box_corners(p2, R2, s2)  # (8,3,k,B)
+    pn = _dot(p1, n)
+    dist = jnp.stack([_dot(corners[c], n) - pn for c in range(8)])  # (8,k,B)
+    d4, (c4,) = _take_smallest(dist, [corners], 4)
+    pos = c4 - 0.5 * d4[:, None] * n[None]
+    nrm = jnp.broadcast_to(n[None], (4,) + n.shape)
+    return d4, pos, nrm
+
+
+def _plane_cylinder(p1, R1, s1, p2, R2, s2):
+    n = _col(R1, 2)
+    axis = _col(R2, 2)
+    perp = n - axis * _dot(n, axis)[None]
+    pn_v, nrm = _normalize(perp, 1e-12)
+    rad = -pn_v * s2[0][None]
+    rad = _where_v(nrm > 1e-6, rad, _col(R2, 0) * s2[0][None])
+    pn = _dot(p1, n)
+    outs_d, outs_p = [], []
+    for sgn in (1.0, -1.0):
+        e = p2 + axis * (sgn * s2[1])[None] + rad
+        dist = _dot(e, n) - pn
+        outs_d.append(dist)
+        outs_p.append(e - 0.5 * dist[None] * n)
+    proj = axis - n * _dot(n, axis)[None]
+    t1n, tn = _normalize(proj, 1e-12)
+    tan = jnp.where((tn > 1e-8)[None], t1n, jnp.nan)
+    return (
+        jnp.stack(outs_d),
+        jnp.stack(outs_p),
+        jnp.stack([n, n]),
+        jnp.stack([tan, tan]),
+    )
+
+
+def _sphere_sphere_at(c1, r1, c2, r2):
+    dvec = c2 - c1
+    nrm, d0 = _normalize(dvec, 1e-12)
+    zhat = jnp.zeros_like(nrm).at[2].set(1.0)
+    n = _where_v(d0 > 1e-9, nrm, zhat)
+    dist = d0 - r1 - r2
+    pos = c1 + n * (r1 + 0.5 * dist)[None]
+    return dist[None], pos[None], n[None]
+
+
+def _sphere_sphere(p1, R1, s1, p2, R2, s2):
+    return _sphere_sphere_at(p1, s1[0], p2, s2[0])
+
+
+def _closest_on_seg(p, a, b):
+    ab = b - a
+    t = jnp.clip(
+        _dot(p - a, ab) / jnp.maximum(_dot(ab, ab), 1e-12), 0.0, 1.0
+    )
+    return a + t[None] * ab
+
+
+def _sphere_capsule(p1, R1, s1, p2, R2, s2):
+    axis = _col(R2, 2)
+    a = p2 - axis * s2[1][None]
+    b = p2 + axis * s2[1][None]
+    c = _closest_on_seg(p1, a, b)
+    return _sphere_sphere_at(p1, s1[0], c, s2[0])
+
+
+def _sphere_box_at(c1, r1, p2, R2, s2):
+    loc = _matTvec(R2, c1 - p2)  # (3,k,B) sphere center in box frame
+    s2b = jnp.broadcast_to(s2, loc.shape)
+    clamped = jnp.clip(loc, -s2b, s2b)
+    inside = jnp.all(jnp.abs(loc) < s2b, axis=0)  # (k,B)
+    face_dist = s2b - jnp.abs(loc)  # (3,k,B)
+    k = jnp.argmin(face_dist, axis=0)  # (k,B)
+    iota3 = jax.lax.broadcasted_iota(jnp.int32, loc.shape, 0)
+    onehot = (iota3 == k[None]).astype(loc.dtype)
+    sgn_k = jnp.sign(jnp.sum(loc * onehot, axis=0))  # (k,B)
+    push = onehot * (sgn_k[None] * jnp.sum(s2b * onehot, axis=0)[None])
+    surf_in = jnp.where(onehot > 0, push, loc)
+    surf = _where_v(inside, surf_in, clamped)
+    world = p2 + _matvec(R2, surf)
+    dvec = world - c1
+    nrm, d0 = _normalize(dvec, 1e-12)
+    n_out = _where_v(d0 > 1e-9, nrm, _col(R2, 2))
+    dist_out = d0 - r1
+    dist_in = -(jnp.min(face_dist, axis=0) + r1)
+    outward = onehot * sgn_k[None]  # box-frame face normal (3,k,B)
+    n_in = -_matvec(R2, outward)
+    n = _where_v(inside, n_in, n_out)
+    dist = jnp.where(inside, dist_in, dist_out)
+    pos = c1 + n * (r1 + 0.5 * dist)[None]
+    return dist[None], pos[None], n[None]
+
+
+def _sphere_box(p1, R1, s1, p2, R2, s2):
+    return _sphere_box_at(p1, s1[0], p2, R2, s2)
+
+
+def _point_cylinder(P, pc, Rc, s):
+    """Signed distance point->cylinder; returns (sd (k,B), surf (3,k,B),
+    n_out (3,k,B)). Port of collision.py:180-221."""
+    q = _matTvec(Rc, P - pc)
+    z = q[2]
+    radial = q[:2]
+    rlen = jnp.sqrt(jnp.maximum(q[0] ** 2 + q[1] ** 2, 0.0))
+    safe = jnp.maximum(rlen, 1e-12)
+    rdir = jnp.stack(
+        [
+            jnp.where(rlen > 1e-9, q[0] / safe, 1.0),
+            jnp.where(rlen > 1e-9, q[1] / safe, 0.0),
+        ]
+    )  # (2,k,B)
+    dr = rlen - s[0]
+    dz = jnp.abs(z) - s[1]
+    zsign = jnp.where(z >= 0, 1.0, -1.0).astype(P.dtype)
+    outside_r = dr > 0
+    outside_z = dz > 0
+    zero = jnp.zeros_like(z)
+    lat = jnp.stack(
+        [rdir[0] * s[0], rdir[1] * s[0], jnp.clip(z, -s[1], s[1])]
+    )
+    rmin = jnp.minimum(rlen, s[0])
+    cap = jnp.stack([rdir[0] * rmin, rdir[1] * rmin, zsign * s[1]])
+    rim = jnp.stack([rdir[0] * s[0], rdir[1] * s[0], zsign * s[1]])
+    inter = _where_v(dr > dz, lat, cap)
+    surf_loc = _where_v(
+        outside_r & outside_z, rim,
+        _where_v(outside_r, lat, _where_v(outside_z, cap, inter)),
+    )
+    sd = jnp.where(
+        outside_r & outside_z, jnp.sqrt(dr * dr + dz * dz),
+        jnp.where(outside_r, dr, jnp.where(outside_z, dz,
+                  jnp.maximum(dr, dz))),
+    )
+    surf = pc + _matvec(Rc, surf_loc)
+    n_lat = _matvec(Rc, jnp.stack([rdir[0], rdir[1], zero]))
+    n_cap = _col(Rc, 2) * zsign[None]
+    diff = P - surf
+    n_away, dn = _normalize(diff, 1e-12)
+    n_out = _where_v(
+        outside_r & outside_z, _where_v(dn > 1e-9, n_away, n_lat),
+        _where_v(outside_r, n_lat, _where_v(outside_z, n_cap,
+                 _where_v(dr > dz, n_lat, n_cap))),
+    )
+    return sd, surf, n_out
+
+
+def _sphere_cylinder_at(c1, r1, p2, R2, s2):
+    sd, surf, n_out = _point_cylinder(c1, p2, R2, s2)
+    dist = sd - r1
+    n = -n_out
+    pos = 0.5 * ((c1 + n * r1[None]) + surf)
+    return dist[None], pos[None], n[None]
+
+
+def _sphere_cylinder(p1, R1, s1, p2, R2, s2):
+    return _sphere_cylinder_at(p1, s1[0], p2, R2, s2)
+
+
+def _capsule_cylinder(p1, R1, s1, p2, R2, s2):
+    ax = _col(R1, 2)
+
+    def sd_at(t):
+        return _point_cylinder(p1 + ax * (t * s1[1])[None], p2, R2, s2)[0]
+
+    lo = jnp.full(p1.shape[1:], -1.0, p1.dtype)
+    hi = jnp.full(p1.shape[1:], 1.0, p1.dtype)
+    for _ in range(24):
+        m1 = lo + (hi - lo) / 3
+        m2 = hi - (hi - lo) / 3
+        go_right = sd_at(m1) > sd_at(m2)
+        lo = jnp.where(go_right, m1, lo)
+        hi = jnp.where(go_right, hi, m2)
+    t = 0.5 * (lo + hi)
+    c = p1 + ax * (t * s1[1])[None]
+    return _sphere_cylinder_at(c, s1[0], p2, R2, s2)
+
+
+def _cylinder_cylinder(p1, R1, s1, p2, R2, s2):
+    d_a, pos_a, n_a = _capsule_cylinder(p1, R1, s1, p2, R2, s2)
+    d_b, pos_b, n_b = _capsule_cylinder(p2, R2, s2, p1, R1, s1)
+    n_b = -n_b
+    use_a = d_a >= d_b
+    return (
+        jnp.where(use_a, d_a, d_b),
+        jnp.where(use_a[:, None], pos_a, pos_b),
+        jnp.where(use_a[:, None], n_a, n_b),
+    )
+
+
+def _seg_seg_closest(a1, b1, a2, b2):
+    d1 = b1 - a1
+    d2 = b2 - a2
+    r = a1 - a2
+    A = _dot(d1, d1)
+    e = _dot(d2, d2)
+    f = _dot(d2, r)
+    c = _dot(d1, r)
+    b = _dot(d1, d2)
+    denom = A * e - b * b
+    s = jnp.where(jnp.abs(denom) > 1e-12,
+                  (b * f - c * e) / jnp.where(denom == 0, 1.0, denom), 0.0)
+    s = jnp.clip(s, 0.0, 1.0)
+    t = jnp.where(e > 1e-12, (b * s + f) / jnp.maximum(e, 1e-12), 0.0)
+    t = jnp.clip(t, 0.0, 1.0)
+    s = jnp.clip(
+        jnp.where(A > 1e-12, (b * t - c) / jnp.maximum(A, 1e-12), 0.0),
+        0.0, 1.0,
+    )
+    return a1 + s[None] * d1, a2 + t[None] * d2
+
+
+def _capsule_capsule(p1, R1, s1, p2, R2, s2):
+    ax1, ax2 = _col(R1, 2), _col(R2, 2)
+    c1, c2 = _seg_seg_closest(
+        p1 - ax1 * s1[1][None], p1 + ax1 * s1[1][None],
+        p2 - ax2 * s2[1][None], p2 + ax2 * s2[1][None],
+    )
+    return _sphere_sphere_at(c1, s1[0], c2, s2[0])
+
+
+def _capsule_box(p1, R1, s1, p2, R2, s2):
+    ax = _col(R1, 2)
+    outs = []
+    for t in (-1.0, 0.0, 1.0):
+        c = p1 + ax * (t * s1[1])[None]
+        outs.append(_sphere_box_at(c, s1[0], p2, R2, s2))
+    return (
+        jnp.concatenate([o[0] for o in outs]),
+        jnp.concatenate([o[1] for o in outs]),
+        jnp.concatenate([o[2] for o in outs]),
+    )
+
+
+def _box_box(p1, R1, s1, p2, R2, s2):
+    """Vertex-face contacts both directions, 4 deepest each (port of
+    collision.py:311-341)."""
+
+    def verts_in_box(pa, Ra, sa, pb, Rb, sb, sign):
+        corners = _box_corners(pa, Ra, sa)  # (8,3,k,B)
+        sbb = jnp.broadcast_to(sb, corners.shape[1:])
+        dists, normals = [], []
+        for c in range(8):
+            loc = _matTvec(Rb, corners[c] - pb)  # (3,k,B)
+            face_dist = sbb - jnp.abs(loc)
+            pen = jnp.min(face_dist, axis=0)  # (k,B) >0 inside
+            kk = jnp.argmin(face_dist, axis=0)
+            iota3 = jax.lax.broadcasted_iota(jnp.int32, loc.shape, 0)
+            onehot = (iota3 == kk[None]).astype(loc.dtype)
+            sgn = jnp.sign(jnp.sum(loc * onehot, axis=0))
+            n_loc = onehot * sgn[None]
+            n_world = _matvec(Rb, n_loc)
+            dist = jnp.where(pen > 0, -pen, _BIG)
+            dists.append(dist)
+            normals.append(sign * n_world)
+        dist8 = jnp.stack(dists)
+        d4, (c4, n4) = _take_smallest(
+            dist8, [corners, jnp.stack(normals)], 4
+        )
+        depth = jnp.where(d4 < 0, d4, 0.0)
+        pos = c4 - 0.5 * depth[:, None] * n4
+        return d4, pos, n4
+
+    d_a, pos_a, n_a = verts_in_box(p2, R2, s2, p1, R1, s1, 1.0)
+    d_b, pos_b, n_b = verts_in_box(p1, R1, s1, p2, R2, s2, -1.0)
+    return (
+        jnp.concatenate([d_a, d_b]),
+        jnp.concatenate([pos_a, pos_b]),
+        jnp.concatenate([n_a, n_b]),
+    )
+
+
+def _dispatch(t1, t2):
+    table = {
+        (T.PLANE, T.SPHERE): _plane_sphere,
+        (T.PLANE, T.CAPSULE): _plane_capsule,
+        (T.PLANE, T.BOX): _plane_box,
+        (T.PLANE, T.CYLINDER): _plane_cylinder,
+        (T.PLANE, T.ELLIPSOID): _plane_sphere,
+        (T.SPHERE, T.SPHERE): _sphere_sphere,
+        (T.SPHERE, T.CAPSULE): _sphere_capsule,
+        (T.SPHERE, T.BOX): _sphere_box,
+        (T.SPHERE, T.CYLINDER): _sphere_cylinder,
+        (T.SPHERE, T.ELLIPSOID): _sphere_sphere,
+        (T.CAPSULE, T.CAPSULE): _capsule_capsule,
+        (T.CAPSULE, T.BOX): _capsule_box,
+        (T.CAPSULE, T.CYLINDER): _capsule_cylinder,
+        (T.BOX, T.BOX): _box_box,
+        (T.CYLINDER, T.BOX): _capsule_box,
+        (T.CYLINDER, T.CYLINDER): _cylinder_cylinder,
+    }
+    return table.get((t1, t2))
+
+
+def _contact_frame_soa(n, t1):
+    """(normal, tan1, tan2) rows from normals (3, N, B) and optional explicit
+    tan1 (mju_makeFrame convention; port of collision.py:366-383)."""
+    yhat = jnp.zeros_like(n).at[1].set(1.0)
+    zhat = jnp.zeros_like(n).at[2].set(1.0)
+    cand_y = yhat - n * n[1][None]
+    cand_z = zhat - n * n[2][None]
+    use_y = jnp.abs(n[1]) < 0.99
+    generic, _ = _normalize(_where_v(use_y, cand_y, cand_z), 1e-12)
+    ok = jnp.all(jnp.isfinite(t1), axis=0)
+    t1 = _where_v(ok, jnp.nan_to_num(t1), generic)
+    t2 = _cross(n, t1)
+    return jnp.stack([n, t1, t2], axis=1)  # (3rows->axis1? see caller)
+
+
+# ---------------------------------------------------------------------------
+# Batched narrowphase over the static pair table
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _make_narrowphase(meta: T.Meta):
+    from gymnasium_robotics_tpu.physics import collision as C
+
+    groups: dict = {}
+    for order, (g1, g2) in enumerate(meta.pairs):
+        t1, t2 = meta.geom_type[g1], meta.geom_type[g2]
+        groups.setdefault((t1, t2), []).append((order, g1, g2))
+
+    # static permutation group-major -> canonical pair-major slot order
+    group_base = {}
+    offset = 0
+    for tp, entries in groups.items():
+        group_base[tp] = offset
+        offset += len(entries) * C.pair_slots(*tp)
+    perm = np.zeros(offset, dtype=np.int64)
+    pos_in_group = {tp: 0 for tp in groups}
+    cursor = 0
+    for g1, g2 in meta.pairs:
+        tp = (meta.geom_type[g1], meta.geom_type[g2])
+        k = C.pair_slots(*tp)
+        src = group_base[tp] + pos_in_group[tp] * k
+        perm[cursor:cursor + k] = np.arange(src, src + k)
+        pos_in_group[tp] += 1
+        cursor += k
+    perm_j = jnp.asarray(perm)
+
+    def batched(gxpos, gxmat, sizes):
+        # gxpos (B, ngeom, 3) -> (ngeom, 3, B); gxmat -> (ngeom, 3, 3, B)
+        dtype = gxpos.dtype
+        P = jnp.moveaxis(gxpos, 0, -1)
+        Rm = jnp.moveaxis(gxmat, 0, -1)
+        B = gxpos.shape[0]
+
+        def take(idx):
+            i = jnp.asarray(idx)
+            p = jnp.swapaxes(P[i], 0, 1)          # (3, k, B)
+            R = jnp.moveaxis(Rm[i], 0, 2)          # (3, 3, k, B)
+            s = sizes[i].T[:, :, None].astype(dtype)  # (3, k, 1)
+            return p, R, s
+
+        all_d, all_p, all_n, all_t = [], [], [], []
+        for (t1, t2), entries in groups.items():
+            fn = _dispatch(t1, t2)
+            S = C.pair_slots(t1, t2)
+            k = len(entries)
+            if fn is None:
+                all_d.append(jnp.full((k * S, B), _BIG, dtype))
+                zero = jnp.zeros((k * S, 3, B), dtype)
+                all_p.append(zero)
+                all_n.append(zero.at[:, 2].set(1.0))
+                all_t.append(jnp.full((k * S, 3, B), jnp.nan, dtype))
+                continue
+            p1, R1, s1 = take([e[1] for e in entries])
+            p2, R2, s2 = take([e[2] for e in entries])
+            res = fn(p1, R1, s1, p2, R2, s2)
+            if len(res) == 4:
+                dd, pp, nn, tt = res
+            else:
+                dd, pp, nn = res
+                tt = jnp.full(nn.shape, jnp.nan, dtype)
+            # (S,k,B) -> pair-major rows (k*S, B); (S,3,k,B) -> (k*S, 3, B)
+            all_d.append(jnp.swapaxes(dd, 0, 1).reshape(k * S, B))
+            for src, dst in ((pp, all_p), (nn, all_n), (tt, all_t)):
+                dst.append(
+                    jnp.moveaxis(src, 2, 0).reshape(k * S, 3, B)
+                )
+
+        dist = jnp.concatenate(all_d)[perm_j]          # (ncon, B)
+        pos = jnp.concatenate(all_p)[perm_j]           # (ncon, 3, B)
+        normal = jnp.concatenate(all_n)[perm_j]
+        tan1 = jnp.concatenate(all_t)[perm_j]
+        # frame rows per slot: (ncon, 3, B) normals -> (3, ncon, B) for the
+        # SoA frame builder, back to (ncon, 3rows, 3comp, B)
+        n_soa = jnp.swapaxes(normal, 0, 1)
+        t_soa = jnp.swapaxes(tan1, 0, 1)
+        frame = _contact_frame_soa(n_soa, t_soa)       # (3comp, 3rows, ncon, B)
+        frame = jnp.moveaxis(frame, (0, 1, 2), (2, 1, 0))  # (ncon, 3rows, 3comp, B)
+        return (
+            jnp.moveaxis(dist, -1, 0),                  # (B, ncon)
+            jnp.moveaxis(pos, -1, 0),                   # (B, ncon, 3)
+            jnp.moveaxis(frame, -1, 0),                 # (B, ncon, 3, 3)
+        )
+
+    @jax.custom_batching.custom_vmap
+    def narrow(gxpos, gxmat, sizes):
+        d, p, f = batched(gxpos[None], gxmat[None], sizes)
+        return d[0], p[0], f[0]
+
+    @narrow.def_vmap
+    def _rule(axis_size, in_batched, gxpos, gxmat, sizes):
+        ngeom = meta.ngeom
+        if not in_batched[0]:
+            gxpos = jnp.broadcast_to(gxpos, (axis_size, ngeom, 3))
+        if not in_batched[1]:
+            gxmat = jnp.broadcast_to(gxmat, (axis_size, ngeom, 3, 3))
+        if in_batched[2]:
+            sizes = sizes[0]  # geom sizes are identical across the batch
+        out = batched(gxpos, gxmat, sizes)
+        return out, (True, True, True)
+
+    return narrow
+
+
+def collision(m: T.Model, d: T.Data) -> T.Data:
+    """Drop-in replacement for collision.collision with the SoA batched
+    narrowphase (single-env signature; env batches enter via vmap)."""
+    mt = m.meta
+    dtype = d.qpos.dtype
+    from gymnasium_robotics_tpu.physics import collision as C
+
+    n_total = C.ncon(m)
+    if not mt.pairs or mt.opt.disable_contact:
+        contact = T.Contact(
+            dist=jnp.full((n_total,), _BIG, dtype),
+            pos=jnp.zeros((n_total, 3), dtype),
+            frame=jnp.tile(jnp.eye(3, dtype=dtype), (n_total, 1, 1)),
+            geom1=jnp.zeros(n_total, jnp.int32),
+            geom2=jnp.zeros(n_total, jnp.int32),
+        )
+        return dataclasses.replace(d, contact=contact)
+
+    narrow = _make_narrowphase(mt)
+    dist, pos, frame = narrow(d.geom_xpos, d.geom_xmat, m.geom_size)
+
+    g1s, g2s = [], []
+    for g1, g2 in mt.pairs:
+        k = C.pair_slots(mt.geom_type[g1], mt.geom_type[g2])
+        g1s += [g1] * k
+        g2s += [g2] * k
+    contact = T.Contact(
+        dist=dist.astype(dtype),
+        pos=pos.astype(dtype),
+        frame=frame.astype(dtype),
+        geom1=jnp.asarray(g1s, jnp.int32),
+        geom2=jnp.asarray(g2s, jnp.int32),
+    )
+    return dataclasses.replace(d, contact=contact)
