@@ -471,6 +471,9 @@ def collision(m: T.Model, d: T.Data) -> T.Data:
     return dataclasses.replace(d, contact=contact)
 
 
+collision_ref = collision
+
+
 def slot_params(mjm, pairs, geom_type=None) -> dict:
     """Per-contact-slot parameters from a raw mujoco.MjModel (import-time only).
 
@@ -517,3 +520,15 @@ def slot_params(mjm, pairs, geom_type=None) -> dict:
         includemargin=np.array(margin).reshape(n),
         condim=tuple(condim),
     )
+
+
+# ---------------------------------------------------------------------------
+# The SoA batch-last narrowphase (collision_vec) supersedes the per-slot
+# vmapped implementation above: env batch rides the TPU lane dimension via a
+# custom_vmap rule, ~10-40x faster on TPU (the AoS path was ~90% of the
+# FetchPush substep). The original is kept as collision_ref for validation
+# (tests/test_physics_parity.py compares both).
+# ---------------------------------------------------------------------------
+from gymnasium_robotics_tpu.physics import collision_vec as _cvec  # noqa: E402
+
+collision = _cvec.collision

@@ -486,7 +486,9 @@ def _make_narrowphase(meta: T.Meta):
         perm[cursor:cursor + k] = np.arange(src, src + k)
         pos_in_group[tp] += 1
         cursor += k
-    perm_j = jnp.asarray(perm)
+    # NOTE: kept as numpy — a jnp constant built inside the lru-cached closure
+    # would be created under the first caller's trace and leak into later ones
+    perm_j = perm
 
     def batched(gxpos, gxmat, sizes):
         # gxpos (B, ngeom, 3) -> (ngeom, 3, B); gxmat -> (ngeom, 3, 3, B)

@@ -79,6 +79,28 @@ def make_data(m: T.Model, dtype=jnp.float32) -> T.Data:
     )
 
 
+def _use_lanes(mt: T.Meta) -> bool:
+    """Gate for the lane-layout fused pallas kernels (same policy as the
+    fused Newton solver: on for TPU under 'auto')."""
+    fused = mt.opt.fused_solver
+    return 0 < mt.nv <= 48 and (
+        fused is True or fused == "force"
+        or (fused == "auto" and jax.default_backend() == "tpu")
+    )
+
+
+def _solve_pos(m: T.Model, M, rhs):
+    """SPD solve M x = rhs: one fused pallas kernel on TPU (lane-layout
+    Cholesky), XLA's batched Cholesky elsewhere."""
+    if _use_lanes(m.meta):
+        from gymnasium_robotics_tpu.physics import solver_pallas
+
+        return solver_pallas.solve_pos_lanes(
+            M, rhs, interpret=jax.default_backend() != "tpu"
+        )
+    return jax.scipy.linalg.solve(M, rhs, assume_a="pos")
+
+
 def fwd_position(m: T.Model, d: T.Data) -> T.Data:
     d = smooth.kinematics(m, d)
     d = smooth.com_pos(m, d)
@@ -103,8 +125,8 @@ def forward(m: T.Model, d: T.Data) -> T.Data:
         d.qfrc_passive - d.qfrc_bias + d.qfrc_actuator + d.qfrc_applied
     )
     d = dataclasses.replace(d, qfrc_smooth=qfrc_smooth)
-    qacc_smooth = jax.scipy.linalg.solve(
-        d.qM, qfrc_smooth, assume_a="pos"
+    qacc_smooth = _solve_pos(
+        m, d.qM, qfrc_smooth
     ) if m.meta.nv else jnp.zeros(0, d.qpos.dtype)
     d = dataclasses.replace(d, qacc_smooth=qacc_smooth)
     d = cst.solve_constraints(m, d)
@@ -183,7 +205,7 @@ def _euler(m: T.Model, d: T.Data) -> T.Data:
     if has_damping:
         MhB = d.qM + h * jnp.diag(m.dof_damping)
         rhs = d.qM @ d.qvel + h * (qfrc + m.dof_damping * d.qvel)
-        qvel = jax.scipy.linalg.solve(MhB, rhs, assume_a="pos")
+        qvel = _solve_pos(m, MhB, rhs)
     else:
         qvel = d.qvel + h * d.qacc
     qpos = _integrate_qpos(m, d.qpos, qvel, h)

@@ -398,3 +398,87 @@ def solve_small(M, a_smooth, J, aref, D, active, is_eq,
     nv = J.shape[-1]
     solve = _make_solver_nv(nv, n_iter, n_ls, interpret)
     return solve(M, a_smooth, J, aref, D, active, is_eq)
+
+
+# ---------------------------------------------------------------------------
+# Fused positive-definite solve (lane layout): one pallas kernel replacing
+# XLA's batched Cholesky custom-calls for qacc_smooth (pipeline.forward) and
+# the Euler implicit-damping solve (pipeline._euler). Batch rides the lane
+# dimension; the unrolled in-kernel Cholesky is _chol_solve_lanes.
+# ---------------------------------------------------------------------------
+
+def _kernel_chol(nv: int, M_ref, b_ref, x_ref):
+    Mp = {}
+    idx = 0
+    for i in range(nv):
+        for j in range(i + 1):
+            Mp[(i, j)] = M_ref[idx:idx + 1, :]
+            idx += 1
+    b = [b_ref[i:i + 1, :] for i in range(nv)]
+    x = _chol_solve_lanes(Mp, b, nv)
+    x_ref[...] = jnp.concatenate(x, axis=0)
+
+
+def _chol_batched(M, b, nv, interpret):
+    B = b.shape[0]
+    dtype = b.dtype
+    Bp = -(-B // _LANES) * _LANES
+    pad = Bp - B
+
+    def lane(x):
+        x = jnp.moveaxis(x, 0, -1)
+        if pad:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+        return x.astype(dtype)
+
+    packed = [M[:, i, j] for i in range(nv) for j in range(i + 1)]
+    Ml = lane(jnp.stack(packed, axis=-1))
+    if pad:
+        idx = 0
+        for i in range(nv):
+            for j in range(i + 1):
+                if i == j:
+                    Ml = Ml.at[idx, B:].set(1.0)
+                idx += 1
+    bl = lane(b)
+    nM = nv * (nv + 1) // 2
+    grid = Bp // _LANES
+
+    def spec2(rows):
+        return pl.BlockSpec((rows, _LANES), lambda i: (0, i))
+
+    x = pl.pallas_call(
+        functools.partial(_kernel_chol, nv),
+        grid=(grid,),
+        in_specs=[spec2(nM), spec2(nv)],
+        out_specs=spec2(nv),
+        out_shape=jax.ShapeDtypeStruct((nv, Bp), dtype),
+        interpret=interpret,
+    )(Ml, bl)
+    return jnp.moveaxis(x[:, :B], -1, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_chol(nv: int, interpret: bool):
+    @jax.custom_batching.custom_vmap
+    def solve(M, b):
+        return _chol_batched(M[None], b[None], nv, interpret)[0]
+
+    @solve.def_vmap
+    def _rule(axis_size, in_batched, M, b):
+        if not in_batched[0]:
+            M = jnp.broadcast_to(M, (axis_size, nv, nv))
+        if not in_batched[1]:
+            b = jnp.broadcast_to(b, (axis_size, nv))
+        return _chol_batched(M, b, nv, interpret), True
+
+    return solve
+
+
+def solve_pos_lanes(M, b, interpret: bool = False):
+    """Single-env SPD solve M x = b ((nv, nv), (nv,)); vmap-compatible — the
+    env batch becomes the pallas lane/grid batching. The TPU replacement for
+    jax.scipy.linalg.solve(assume_a="pos")'s batched-Cholesky custom call."""
+    nv = b.shape[-1]
+    solve = _make_chol(nv, interpret)
+    return solve(M, b)

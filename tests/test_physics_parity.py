@@ -255,3 +255,28 @@ def test_fused_solver_trajectory_stays_on_generic_path():
     np.testing.assert_array_equal(
         np.asarray(d_gen.qvel), np.asarray(d_fus.qvel)
     )
+
+
+def test_solve_pos_lanes_matches_xla():
+    """Fused lane-layout SPD solve (pallas, interpret mode on CPU) agrees
+    with XLA's Cholesky solve for the nv sizes the families use."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gymnasium_robotics_tpu.physics import solver_pallas as sp
+
+    rng = np.random.default_rng(0)
+    for nv in (2, 14, 21, 29, 36):
+        A = rng.normal(size=(8, nv, nv)).astype(np.float32)
+        M = A @ np.swapaxes(A, 1, 2) + nv * np.eye(nv, dtype=np.float32)
+        b = rng.normal(size=(8, nv)).astype(np.float32)
+        got = jax.vmap(
+            lambda Mi, bi: sp.solve_pos_lanes(Mi, bi, interpret=True)
+        )(jnp.asarray(M), jnp.asarray(b))
+        want = jax.vmap(
+            lambda Mi, bi: jax.scipy.linalg.solve(Mi, bi, assume_a="pos")
+        )(jnp.asarray(M), jnp.asarray(b))
+        err = np.max(np.abs(np.asarray(got) - np.asarray(want)))
+        rel = err / max(1e-6, float(np.max(np.abs(np.asarray(want)))))
+        assert rel < 5e-5, f"nv={nv}: rel err {rel}"
