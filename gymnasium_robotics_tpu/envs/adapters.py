@@ -40,7 +40,9 @@ def _cast_to_space(obs, space):
 class GymAdapter(gym.Env if gym else object):
     metadata = {"render_modes": [], "render_fps": 25}
 
-    def __init__(self, env: core.FunctionalEnv, render_mode: Optional[str] = None):
+    def __init__(self, env: core.FunctionalEnv, render_mode: Optional[str] = None,
+                 parity: bool = False):
+        self.parity = parity
         self.env = env
         self.observation_space = env.observation_space
         self.action_space = env.action_space
@@ -50,6 +52,8 @@ class GymAdapter(gym.Env if gym else object):
         self._step = jax.jit(env.step)
         self._initial = jax.jit(env.initial)
         self._seed_counter = 0
+        self._render_kin = None
+        self._parity_reset = None
 
     def reset(self, *, seed: Optional[int] = None, options: Optional[dict] = None):
         if gym is not None:
@@ -59,6 +63,27 @@ class GymAdapter(gym.Env if gym else object):
             seed = int(np.random.SeedSequence().entropy % (2 ** 31)) \
                 if self.np_random is None else int(self.np_random.integers(2 ** 31))
         self._options = options
+        if self.parity:
+            # reference-exact RNG parity: replicate the family's NumPy draw
+            # order on the host and inject the values (utils/parity.py)
+            from gymnasium_robotics_tpu.utils import parity as P
+
+            hook = getattr(self.env, "reset_with_values", None)
+            values = (
+                P.sample_reset_values(self.env, self.np_random)
+                if hook is not None else None
+            )
+            if values is not None:
+                base = self._initial(jax.random.key(seed))
+                if self._parity_reset is None:
+                    self._parity_reset = jax.jit(hook)
+                self._state = self._parity_reset(
+                    base, jax.tree_util.tree_map(jnp.asarray, values)
+                )
+                return (
+                    _cast_to_space(self._state.obs, self.observation_space),
+                    _to_np(self._state.info),
+                )
         if options:
             env_reset = getattr(self.env, "initial_with_options", None)
             if env_reset is not None:
@@ -116,7 +141,34 @@ class GymAdapter(gym.Env if gym else object):
         )
 
     def render(self):
-        return None
+        """rgb_array frames from the host-side software renderer (the
+        reference's MujocoRenderer analogue, robot_env.py:282-290)."""
+        if self.render_mode != "rgb_array" or self._state is None:
+            return None
+        data = getattr(self._state, "data", None)
+        model = getattr(self.env, "model", None)
+        if data is None or model is None:
+            return None
+        from gymnasium_robotics_tpu.render import renderer as R
+
+        cam = getattr(self.env, "camera_config", None)
+        if cam is None:
+            fam = type(self.env).__module__.rsplit(".", 2)[-2]
+            cam = R.FAMILY_CAMERAS.get(fam)
+        import jax as _jax
+
+        # refresh kinematics on a copy: some families leave geom_xpos stale
+        # at reset (they only need qpos for obs); rendering must not mutate
+        # the stepping state
+        if self._render_kin is None:
+            from gymnasium_robotics_tpu.physics import smooth
+
+            self._render_kin = _jax.jit(
+                lambda dd: smooth.kinematics(self.env.model, dd)
+            )
+        fresh = self._render_kin(data)
+        host = _jax.device_get((fresh.geom_xpos, fresh.geom_xmat))
+        return R.render_frame(model, host[0], host[1], camera=cam)
 
     def close(self):
         pass

@@ -49,7 +49,7 @@ def site_velr(m, d, site_id, body_id):
 
 
 class FetchEnv(core.GoalEnv):
-    metadata = {"render_modes": [], "render_fps": 25}
+    metadata = {"render_modes": ["rgb_array"], "render_fps": 25}
 
     task: str = "reach"
     has_object: bool = False
@@ -206,6 +206,30 @@ class FetchEnv(core.GoalEnv):
             terminated=jnp.zeros((), bool), truncated=jnp.zeros((), bool),
             info={"is_success": jnp.zeros((), self.dtype)},
             rng=rng, goal=goal, steps=jnp.zeros((), jnp.int32),
+        )
+
+    def reset_with_values(self, state: core.EnvState, values) -> core.EnvState:
+        """Parity-mode reset: goal (and object xy) sampled on the host in the
+        reference's NumPy draw order (utils/parity.py) are injected here."""
+        data = pipeline.make_data(self.model, dtype=self.dtype)
+        qpos = self._init_qpos
+        if self.has_object and "object_xy" in values:
+            obj_xy = jnp.asarray(values["object_xy"], self.dtype)
+            qpos = qpos.at[self._obj_qadr:self._obj_qadr + 2].set(obj_xy)
+        data = dataclasses.replace(
+            data, qpos=qpos, qvel=self._init_qvel,
+            mocap_pos=self._init_mocap_pos, mocap_quat=self._init_mocap_quat,
+        )
+        data = smooth.kinematics(self.model, data)
+        data = smooth.com_pos(self.model, data)
+        goal = jnp.asarray(values["goal"], self.dtype)
+        obs = self._get_obs(data, goal)
+        return dataclasses.replace(
+            state, data=data, obs=obs,
+            reward=jnp.zeros((), self.dtype),
+            terminated=jnp.zeros((), bool), truncated=jnp.zeros((), bool),
+            info={"is_success": jnp.zeros((), self.dtype)},
+            goal=goal, steps=jnp.zeros((), jnp.int32),
         )
 
     def step(self, state: core.EnvState, action) -> core.EnvState:

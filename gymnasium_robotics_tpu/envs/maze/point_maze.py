@@ -22,7 +22,7 @@ from gymnasium_robotics_tpu.physics import pipeline
 
 
 class PointMazeEnv(core.GoalEnv):
-    metadata = {"render_modes": [], "render_fps": 50}
+    metadata = {"render_modes": ["rgb_array"], "render_fps": 50}
 
     def __init__(
         self,
@@ -140,6 +140,23 @@ class PointMazeEnv(core.GoalEnv):
             data = dataclasses.replace(data, qpos=qpos)
         obs = self._get_obs(data, goal)
         return dataclasses.replace(state, data=data, goal=goal, obs=obs, rng=rng)
+
+    def reset_with_values(self, state: core.EnvState, values) -> core.EnvState:
+        """Parity-mode reset: goal/reset positions sampled on the host in the
+        reference's NumPy draw order (utils/parity.py) are injected here."""
+        goal = jnp.asarray(values["goal_xy"], self.dtype)
+        reset_pos = jnp.asarray(values["reset_xy"], self.dtype)
+        data = pipeline.make_data(self.model, dtype=self.dtype)
+        qpos = data.qpos.at[:2].set(reset_pos)
+        data = dataclasses.replace(data, qpos=qpos)
+        obs = self._get_obs(data, goal)
+        return dataclasses.replace(
+            state, data=data, obs=obs,
+            reward=jnp.zeros((), self.dtype),
+            terminated=jnp.zeros((), bool), truncated=jnp.zeros((), bool),
+            info={"success": jnp.zeros((), bool)},
+            goal=goal, steps=jnp.zeros((), jnp.int32),
+        )
 
     def reset(self, state: core.EnvState, rng) -> core.EnvState:
         rng, r_goal, r_reset = jax.random.split(rng, 3)

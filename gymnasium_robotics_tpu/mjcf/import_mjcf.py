@@ -384,6 +384,7 @@ def import_model(m, dtype=np.float32, filter_qpos=None) -> "T.Model":
         geom_solimp=arr(m.geom_solimp),
         geom_solmix=arr(m.geom_solmix),
         geom_rbound=arr(m.geom_rbound),
+        geom_rgba=arr(m.geom_rgba),
         site_pos=arr(m.site_pos),
         site_quat=arr(m.site_quat),
         site_size_arr=arr(m.site_size),

@@ -504,8 +504,25 @@ def solve_constraints(m: T.Model, d: T.Data) -> T.Data:
         )
 
     M = d.qM
-    L = jax.scipy.linalg.cho_factor(M)
     a_smooth = d.qacc_smooth
+    # SPD solves: fused lane-layout Cholesky kernel on TPU (one pallas call
+    # instead of XLA's blocked-Cholesky custom calls per Newton iteration)
+    use_lane_chol = mt.nv <= 48 and (
+        fused is True or fused == "force"
+        or (fused == "auto" and jax.default_backend() == "tpu")
+    )
+    if use_lane_chol:
+        from gymnasium_robotics_tpu.physics import solver_pallas as _sp
+
+        def spd_solve(A, b):
+            return _sp.solve_pos_lanes(
+                A, b, interpret=jax.default_backend() != "tpu"
+            )
+    else:
+        def spd_solve(A, b):
+            return jax.scipy.linalg.cho_solve(
+                jax.scipy.linalg.cho_factor(A), b
+            )
 
     def x_of(a):
         return J @ a - aref
@@ -519,8 +536,7 @@ def solve_constraints(m: T.Model, d: T.Data) -> T.Data:
         Dw = jnp.where(aset, D, 0.0)
         grad = M @ (a - a_smooth) + J.T @ (Dw * x)
         H = M + (J.T * Dw) @ J
-        Lh = jax.scipy.linalg.cho_factor(H)
-        p = -jax.scipy.linalg.cho_solve(Lh, grad)
+        p = -spd_solve(H, grad)
         return p, grad
 
     def linesearch(a, p):
@@ -560,7 +576,7 @@ def solve_constraints(m: T.Model, d: T.Data) -> T.Data:
     # unilateral rows cannot pull
     f = jnp.where(~is_eq, jnp.maximum(f, 0.0), f)
     qfrc_constraint = J.T @ f
-    qacc = a_smooth + jax.scipy.linalg.cho_solve(L, qfrc_constraint)
+    qacc = a_smooth + spd_solve(M, qfrc_constraint)
     con_force, cfrc_ext = _decode_contact_forces(m, d, f, layout)
     return dataclasses.replace(
         d, qacc=qacc, qfrc_constraint=qfrc_constraint,

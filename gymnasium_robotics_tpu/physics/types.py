@@ -242,6 +242,9 @@ class Model:
     tendon_margin: Any
     wrap_prm: Any            # (nwrap,) coefficient per wrap entry
 
+    # visual-only (rendering): rgba per geom; None on pre-r2 compiled assets
+    geom_rgba: Any = None         # (ngeom, 4)
+
     # per-contact-slot mixed params (aligned with collision slot order)
     con_friction: Any = None      # (ncon, 5)
     con_solref: Any = None        # (ncon, 2)

@@ -61,11 +61,14 @@ def make(id: str, num_envs: Optional[int] = None, **kwargs):
     return BatchedEnv(env, num_envs)
 
 
-def make_gym(id: str, **kwargs):
-    """Gymnasium-API (numpy, stateful) adapter for reference compatibility."""
+def make_gym(id: str, parity: bool = False, render_mode=None, **kwargs):
+    """Gymnasium-API (numpy, stateful) adapter for reference compatibility.
+    ``parity=True`` enables the reference-exact RNG mode: reset randomness is
+    drawn host-side in the reference's NumPy Generator order so seeded
+    rollouts track the reference trajectory (utils/parity.py)."""
     from gymnasium_robotics_tpu.envs.adapters import GymAdapter
 
-    return GymAdapter(make(id, **kwargs))
+    return GymAdapter(make(id, **kwargs), render_mode=render_mode, parity=parity)
 
 
 def ids():

@@ -184,3 +184,25 @@ def test_checkpoint_resume_bitwise():
     np.testing.assert_array_equal(
         jax.random.key_data(s1.rng), jax.random.key_data(s2.rng)
     )
+
+
+def test_render_rgb_array():
+    """Software renderer produces real frames through the gym adapter
+    (reference render_modes contract, robot_env.py:282-290)."""
+    import numpy as np
+
+    from gymnasium_robotics_tpu import registry
+
+    env = registry.make_gym("PointMaze_UMaze-v3")
+    env.render_mode = "rgb_array"
+    assert "rgb_array" in env.metadata["render_modes"]
+    env.reset(seed=0)
+    f1 = env.render()
+    assert f1.shape == (480, 480, 3) and f1.dtype == np.uint8
+    # scene has depth: many distinct shades, not a flat fill
+    assert len(np.unique(f1.reshape(-1, 3), axis=0)) > 10
+    env.step(np.array([1.0, 0.0], np.float32))
+    for _ in range(10):
+        env.step(np.array([1.0, 0.0], np.float32))
+    f2 = env.render()
+    assert (f1 != f2).any(), "frame did not change after motion"

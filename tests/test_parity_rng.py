@@ -1,0 +1,102 @@
+"""Reference-exact RNG parity (the BASELINE determinism contract, reference
+tests/test_envs.py:62-117): with parity=True, a seeded rollout reproduces the
+live reference env's randomized resets bitwise and its trajectory to solver
+tolerance."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from gymnasium_robotics_tpu import registry
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists("/root/reference"),
+    reason="reference checkout not mounted",
+)
+
+
+def _ref_env(env_id):
+    sys.path.insert(0, "/root/reference")
+    gym = pytest.importorskip("gymnasium")
+    try:
+        import gymnasium_robotics
+
+        gym.register_envs(gymnasium_robotics)
+        return gym.make(env_id)
+    except Exception as e:  # mujoco/GL missing etc.
+        pytest.skip(f"reference env unavailable: {e}")
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_pointmaze_seeded_parity(seed):
+    ref = _ref_env("PointMaze_UMaze-v3")
+    ours = registry.make_gym("PointMaze_UMaze-v3", parity=True)
+    ro, _ = ref.reset(seed=seed)
+    oo, _ = ours.reset(seed=seed)
+    # reset randomness reproduced bitwise-close (float32 cast only)
+    np.testing.assert_allclose(
+        oo["desired_goal"], ro["desired_goal"], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        oo["achieved_goal"], ro["achieved_goal"], atol=1e-6
+    )
+    rng = np.random.default_rng(123)
+    max_err = 0.0
+    for t in range(50):
+        a = rng.uniform(-1, 1, 2).astype(np.float32)
+        ro, rr, rte, rtr, rinfo = ref.step(a)
+        oo, orr, ote, otr, oinfo = ours.step(a)
+        max_err = max(
+            max_err,
+            float(np.max(np.abs(oo["observation"] - ro["observation"]))),
+        )
+        # success resamples the goal through a different RNG path; the
+        # parity contract covers the pre-success trajectory
+        if rinfo.get("success"):
+            break
+    assert max_err < 1e-2, f"pointmaze obs drift {max_err}"
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_fetch_reach_seeded_parity(seed):
+    ref = _ref_env("FetchReach-v4")
+    ours = registry.make_gym("FetchReach-v4", parity=True)
+    ro, _ = ref.reset(seed=seed)
+    oo, _ = ours.reset(seed=seed)
+    np.testing.assert_allclose(
+        oo["desired_goal"], ro["desired_goal"], atol=1e-6
+    )
+    rng = np.random.default_rng(123)
+    max_err = 0.0
+    rewards_match = 0
+    for t in range(50):
+        a = rng.uniform(-1, 1, 4).astype(np.float32)
+        ro, rr, *_ = ref.step(a)
+        oo, orr, *_ = ours.step(a)
+        max_err = max(
+            max_err,
+            float(np.max(np.abs(oo["observation"] - ro["observation"]))),
+        )
+        rewards_match += int(float(orr) == float(rr))
+    assert max_err < 5e-2, f"fetch reach obs drift over 50 steps: {max_err}"
+    # sparse rewards agree except possibly at threshold crossings
+    assert rewards_match >= 45, f"only {rewards_match}/50 rewards matched"
+
+
+def test_fetch_push_reset_parity():
+    """Object placement + in-the-air goal draws follow the reference's exact
+    order (fetch_env.py:386-391 then :153-166)."""
+    ref = _ref_env("FetchPickAndPlace-v4")
+    ours = registry.make_gym("FetchPickAndPlace-v4", parity=True)
+    for seed in range(5):
+        ro, _ = ref.reset(seed=seed)
+        oo, _ = ours.reset(seed=seed)
+        np.testing.assert_allclose(
+            oo["desired_goal"], ro["desired_goal"], atol=1e-5
+        )
+        # object xy comes out of the same draw sequence
+        np.testing.assert_allclose(
+            oo["achieved_goal"][:2], ro["achieved_goal"][:2], atol=1e-3
+        )

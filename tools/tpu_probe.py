@@ -6,6 +6,7 @@ goes (survives timeouts). Run as the ONLY TPU client.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -62,6 +63,9 @@ def main():
     emit(probe="backend", backend=jax.default_backend(),
          device=str(jax.devices()[0]))
 
+    if len(sys.argv) > 1:
+        return _families()
+
     # 1. trivial dispatch latency
     f = jax.jit(lambda x: x + 1.0)
     x = jnp.zeros((8192,), jnp.float32)
@@ -90,8 +94,11 @@ def main():
 
     for n in (8, 64):
         emit(probe=f"gather_chain_{n}_ms", ms=timeit(chain(n), x, n=20) * 1e3)
+    _families()
 
-    # 4. per-family batched step: wall time + kernel count vs batch size
+
+def _families():
+    # per-family batched step: wall time + kernel count vs batch size
     from gymnasium_robotics_tpu import registry
 
     fams = [
@@ -114,13 +121,14 @@ def main():
                 jax.block_until_ready(jax.tree_util.tree_leaves(out[0])[0])
                 compile_s = time.perf_counter() - t0
                 nk = {}
-                try:
-                    txt = env._step_fn.lower(
-                        env.state, jnp.asarray(a)
-                    ).compile().as_text()
-                    nk = count_kernels(txt)
-                except Exception as e:
-                    nk = {"error": repr(e)[:120]}
+                if os.environ.get("PROBE_KERNELS"):
+                    try:
+                        txt = env._step_fn.lower(
+                            env.state, jnp.asarray(a)
+                        ).compile().as_text()
+                        nk = count_kernels(txt)
+                    except Exception as e:
+                        nk = {"error": repr(e)[:120]}
                 t = timeit(lambda: env.step(a), n=10, warmup=3)
                 emit(probe="family_step", env=env_id, B=B,
                      step_ms=round(t * 1e3, 2), env_steps_per_s=round(B / t),
