@@ -386,8 +386,11 @@ class HandManipulateEnv(HandBaseEnv):
         randomized object poses; resets sample among them (reset diversity
         matching the reference's per-reset re-randomization)."""
         rng, r_pool = jax.random.split(rng)
-        pool_qpos, pool_qvel = jax.vmap(self._settle_one)(
-            jax.random.split(r_pool, self.reset_pool_size)
+        # sequential over pool slots (lax.map, not vmap): a vmapped settle
+        # multiplies the 200-substep scan body by K and faults the TPU worker
+        # at batch >= 1024 (the large-scan-body device fault, CLAUDE.md)
+        pool_qpos, pool_qvel = jax.lax.map(
+            self._settle_one, jax.random.split(r_pool, self.reset_pool_size)
         )
         data = pipeline.make_data(self.model, dtype=self.dtype)
         state = core.EnvState(
