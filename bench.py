@@ -21,13 +21,17 @@ import sys
 import time
 
 # (env_id, num_envs, rollout_steps, control_hz) — flagship first: its result
-# is the headline and is printed immediately.
+# is the headline and is printed immediately. Batch sizes picked from the
+# round-2 probe sweep (tools/tpu_probe_results.jsonl): throughput per env is
+# flat-to-declining past these sizes on a single v5e.
 BENCHES = [
     ("PointMaze_UMaze-v3", 8192, 200, 100.0),
-    ("FetchPush-v4", 8192, 20, 25.0),
+    ("FetchPush-v4", 2048, 30, 25.0),
     ("HandManipulateBlockRotateXYZ-v1", 1024, 20, 25.0),
-    ("AntMaze_UMaze-v5", 4096, 50, 20.0),
+    ("AntMaze_UMaze-v5", 2048, 50, 20.0),
     ("HalfCheetah-v5", 8192, 100, 20.0),
+    ("AdroitHandDoor-v1", 1024, 20, 100.0),
+    ("FrankaKitchen-v1", 512, 10, 12.5),
 ]
 
 _CHILD = r"""

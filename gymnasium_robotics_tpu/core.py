@@ -104,7 +104,18 @@ def auto_reset(env: FunctionalEnv, state: EnvState, action) -> EnvState:
     truncated = stepped.truncated
     if env.max_episode_steps is not None:
         truncated = truncated | (steps >= env.max_episode_steps)
-        stepped = dataclasses.replace(stepped, truncated=truncated)
+
+    # divergence guard (the MuJoCo mjWARN_BADQACC autoreset, engine.c's
+    # mj_warning path): a non-finite or exploding state ends the episode as
+    # truncated and the slot resets — without this a single diverged env in a
+    # batch stays NaN forever (no done signal ever fires)
+    data = stepped.data
+    if data is not None and getattr(data, "qacc", None) is not None \
+            and data.qacc.size:
+        q_mag = jnp.max(jnp.abs(data.qacc)) + jnp.max(jnp.abs(data.qpos))
+        bad = ~jnp.isfinite(q_mag) | (q_mag > 1e10)
+        truncated = truncated | bad
+    stepped = dataclasses.replace(stepped, truncated=truncated)
 
     done = stepped.terminated | truncated
     rng, reset_rng = jax.random.split(state.rng)

@@ -88,7 +88,7 @@ class AntMazeEnv(core.GoalEnv):
         )
         # large static wall x leg pair table; at most ~16 simultaneous contacts
         self.model = self.model.with_options(
-            contact_cap=16, iterations=8, ls_iterations=4
+            contact_cap=16, iterations=5, ls_iterations=4
         )
         # inner ant: v5 semantics include contact forces (ant_maze_v5.py:
         # 244-253); v3/v4 wrap gymnasium's ant_v4 with default kwargs, i.e.

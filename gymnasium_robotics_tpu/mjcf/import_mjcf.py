@@ -84,6 +84,47 @@ def _collision_pairs(m, geom_type) -> tuple:
     return tuple(pairs)
 
 
+HULL_V, HULL_F = 24, 44  # per-hull vertex/face budget (F <= 2V - 4)
+
+
+def _convex_hull(verts: np.ndarray):
+    """Convex hull of a point cloud, downsampled to <= HULL_V vertices via
+    farthest-point selection: returns (verts (HULL_V, 3), faces (HULL_F, 4))
+    with faces as halfspaces n.x + d (positive outside; padding d = -1e10)."""
+    from scipy.spatial import ConvexHull, QhullError
+
+    def hull_of(pts):
+        try:
+            return ConvexHull(pts)
+        except QhullError:
+            return ConvexHull(pts, qhull_options="QJ")
+
+    h = hull_of(verts)
+    pts = verts[h.vertices]
+    if len(pts) > HULL_V:
+        # farthest-point downsample, seeded with the most extreme vertex
+        chosen = [int(np.argmax(np.linalg.norm(pts, axis=1)))]
+        d = np.linalg.norm(pts - pts[chosen[0]], axis=1)
+        for _ in range(HULL_V - 1):
+            nxt = int(np.argmax(d))
+            chosen.append(nxt)
+            d = np.minimum(d, np.linalg.norm(pts - pts[nxt], axis=1))
+        pts = pts[np.array(chosen)]
+        h = hull_of(pts)
+        pts = pts[h.vertices]
+    eqs = np.asarray(h.equations, np.float64)  # n.x + d <= 0 inside
+    if len(eqs) > HULL_F:  # QJ joggling can exceed the Euler bound; keep the
+        # faces with the largest area-proxy (unique normals first-come)
+        eqs = eqs[:HULL_F]
+    hv = np.zeros((HULL_V, 3))
+    hv[: len(pts)] = pts
+    hv[len(pts):] = pts[0]
+    hf = np.zeros((HULL_F, 4))
+    hf[:, 3] = -1e10
+    hf[: len(eqs)] = eqs
+    return hv, hf
+
+
 def _filter_mesh_rest_penetrations(
     m, pairs, geom_type, geom_pos, geom_quat, geom_size, mesh_substituted,
     filter_qpos=None,
@@ -222,11 +263,16 @@ def import_model(m, dtype=np.float32, filter_qpos=None) -> "T.Model":
     geom_quat = np.array(m.geom_quat, dtype=dtype)
     geom_size = np.array(m.geom_size, dtype=dtype)
 
-    # Mesh -> bounding box substitution (collision approximation, round-1).
-    # The box is the vertex AABB in the PARENT BODY frame (geom_quat absorbed):
-    # a local-frame AABB would overestimate along rotated axes, e.g. lifting
-    # the fetch base 2cm off the floor.
+    # Mesh geoms: convex hull for collision (verts + halfspace faces, the
+    # static-feature-SAT narrowphase in physics/collision_vec.py). The
+    # geom frame is re-centered on the vertex AABB in the PARENT BODY frame
+    # (geom_quat absorbed), and geom_size keeps the AABB half-extents for
+    # broadphase/filters/rendering. mesh_substituted marks hulled geoms for
+    # the rest-penetration pair filter below (kept conservative: adjacent
+    # link hulls that overlap at qpos0 are contact-free by design).
     mesh_substituted = np.zeros(m.ngeom, dtype=bool)
+    geom_hullid = np.full(m.ngeom, -1, dtype=np.int64)
+    hull_verts, hull_faces = [], []
     from scipy.spatial.transform import Rotation as R
 
     for g in range(m.ngeom):
@@ -237,11 +283,16 @@ def import_model(m, dtype=np.float32, filter_qpos=None) -> "T.Model":
             rot = R.from_quat(np.array(geom_quat[g])[[1, 2, 3, 0]]).as_matrix()
             v_body = verts @ rot.T + np.array(geom_pos[g])
             lo, hi = v_body.min(0), v_body.max(0)
-            geom_pos[g] = ((lo + hi) / 2).astype(dtype)
+            center = (lo + hi) / 2
+            geom_pos[g] = center.astype(dtype)
             geom_size[g] = np.maximum((hi - lo) / 2, 1e-4).astype(dtype)
             geom_quat[g] = np.array([1.0, 0, 0, 0], dtype=dtype)
-            geom_type[g] = T.BOX
+            geom_type[g] = T.MESH
             mesh_substituted[g] = True
+            hv, hf = _convex_hull(v_body - center)
+            geom_hullid[g] = len(hull_verts)
+            hull_verts.append(hv)
+            hull_faces.append(hf)
 
     opt = T.Option(
         timestep=float(m.opt.timestep),
@@ -298,6 +349,7 @@ def import_model(m, dtype=np.float32, filter_qpos=None) -> "T.Model":
         geom_type=_tup(geom_type),
         geom_bodyid=_tup(m.geom_bodyid),
         geom_condim=_tup(m.geom_condim),
+        geom_hullid=_tup(geom_hullid),
         geom_priority=_tup(m.geom_priority),
         site_bodyid=_tup(m.site_bodyid),
         eq_type=_tup(m.eq_type),
@@ -385,6 +437,8 @@ def import_model(m, dtype=np.float32, filter_qpos=None) -> "T.Model":
         geom_solmix=arr(m.geom_solmix),
         geom_rbound=arr(m.geom_rbound),
         geom_rgba=arr(m.geom_rgba),
+        hull_vert=arr(np.stack(hull_verts)) if hull_verts else None,
+        hull_face=arr(np.stack(hull_faces)) if hull_faces else None,
         site_pos=arr(m.site_pos),
         site_quat=arr(m.site_quat),
         site_size_arr=arr(m.site_size),

@@ -39,12 +39,20 @@ _SLOTS = {
     (T.CAPSULE, T.BOX): 3,
     (T.CAPSULE, T.CYLINDER): 1,
     (T.CAPSULE, T.ELLIPSOID): 1,
-    (T.BOX, T.BOX): 8,
+    (T.BOX, T.BOX): 9,  # 8 vertex-face (both ways) + 1 SAT edge-edge
     (T.CYLINDER, T.CYLINDER): 1,
     (T.CYLINDER, T.BOX): 3,
     (T.ELLIPSOID, T.BOX): 1,
     (T.ELLIPSOID, T.ELLIPSOID): 1,
     (T.ELLIPSOID, T.CYLINDER): 1,
+    # convex hulls (MESH geoms; static-feature SAT in collision_vec.py)
+    (T.PLANE, T.MESH): 4,
+    (T.SPHERE, T.MESH): 1,
+    (T.CAPSULE, T.MESH): 2,
+    (T.ELLIPSOID, T.MESH): 1,
+    (T.CYLINDER, T.MESH): 2,
+    (T.BOX, T.MESH): 8,
+    (T.MESH, T.MESH): 4,
 }
 
 
@@ -309,8 +317,9 @@ def _capsule_box(p1, R1, s1, p2, R2, s2):
 
 
 def _box_box(p1, R1, s1, p2, R2, s2):
-    """Vertex-face contacts both directions (4 deepest each). Round-1 box-box;
-    edge-edge cases are approximated by the deepest vertex contacts."""
+    """Vertex-face contacts both directions (4 deepest each) plus an inert
+    9th slot (the SoA path, collision_vec._box_box, fills it with the SAT
+    edge-edge contact; this reference AoS path keeps it far)."""
 
     def verts_in_box(pa, Ra, sa, pb, Rb, sb, sign):
         corners = _box_corners(pa, Ra, sa)  # (8,3)
@@ -334,10 +343,11 @@ def _box_box(p1, R1, s1, p2, R2, s2):
     d_a, pos_a, n_a = verts_in_box(p2, R2, s2, p1, R1, s1, 1.0)
     # vertices of box1 inside box2: outward of box2 points from 2 into 1 -> flip
     d_b, pos_b, n_b = verts_in_box(p1, R1, s1, p2, R2, s2, -1.0)
+    far = jnp.full((1,), _BIG, p1.dtype)
     return (
-        jnp.concatenate([d_a, d_b]),
-        jnp.concatenate([pos_a, pos_b]),
-        jnp.concatenate([n_a, n_b]),
+        jnp.concatenate([d_a, d_b, far]),
+        jnp.concatenate([pos_a, pos_b, jnp.zeros((1, 3), p1.dtype)]),
+        jnp.concatenate([n_a, n_b, jnp.array([[0.0, 0, 1.0]], p1.dtype)]),
     )
 
 

@@ -412,11 +412,288 @@ def _box_box(p1, R1, s1, p2, R2, s2):
 
     d_a, pos_a, n_a = verts_in_box(p2, R2, s2, p1, R1, s1, 1.0)
     d_b, pos_b, n_b = verts_in_box(p1, R1, s1, p2, R2, s2, -1.0)
+    d_e, pos_e, n_e = _box_box_edge(p1, R1, s1, p2, R2, s2)
     return (
-        jnp.concatenate([d_a, d_b]),
-        jnp.concatenate([pos_a, pos_b]),
-        jnp.concatenate([n_a, n_b]),
+        jnp.concatenate([d_a, d_b, d_e]),
+        jnp.concatenate([pos_a, pos_b, pos_e]),
+        jnp.concatenate([n_a, n_b, n_e]),
     )
+
+
+def _box_box_edge(p1, R1, s1, p2, R2, s2):
+    """Edge-edge contact (the case the vertex-face manifold misses): SAT over
+    the 9 edge cross axes picks the least-penetrating edge pair; the contact
+    point is the closest-point midpoint of the two supporting edges. The
+    reported distance is clamped to the FULL SAT separation (face axes
+    included) so a dominant face axis can never be undercut by a spurious
+    deeper edge contact."""
+    d12 = p2 - p1
+    s1b = jnp.broadcast_to(s1, (3,) + d12.shape[1:])
+    s2b = jnp.broadcast_to(s2, (3,) + d12.shape[1:])
+
+    def support(R, sb, a):
+        return sum(
+            jnp.abs(_dot(a, _col(R, k))) * sb[k] for k in range(3)
+        )
+
+    # face-axis SAT separation (6 axes): upper bound used for clamping
+    face_sep = None
+    for R in (R1, R2):
+        for k in range(3):
+            a = _col(R, k)
+            sep = jnp.abs(_dot(a, d12)) - (
+                support(R1, s1b, a) + support(R2, s2b, a)
+            )
+            face_sep = sep if face_sep is None else jnp.maximum(face_sep, sep)
+
+    best = None
+    for i in range(3):
+        e1 = _col(R1, i)
+        for j in range(3):
+            e2 = _col(R2, j)
+            a, alen = _normalize(_cross(e1, e2), 1e-12)
+            ok = alen > 1e-6  # parallel edges: no distinct axis
+            sgn = jnp.where(_dot(a, d12) >= 0, 1.0, -1.0)
+            a = a * sgn[None]  # oriented from box1 into box2
+            sep = _dot(a, d12) - (
+                support(R1, s1b, a) + support(R2, s2b, a)
+            )
+            sep = jnp.where(ok, sep, -_BIG)
+            # supporting edge centers (zero-sign components stay centered)
+            c1 = p1
+            for k in range(3):
+                if k != i:
+                    c1 = c1 + _col(R1, k) * (
+                        jnp.sign(_dot(a, _col(R1, k))) * s1b[k]
+                    )[None]
+            c2 = p2
+            for k in range(3):
+                if k != j:
+                    c2 = c2 - _col(R2, k) * (
+                        jnp.sign(_dot(a, _col(R2, k))) * s2b[k]
+                    )[None]
+            q1, q2 = _seg_seg_closest(
+                c1 - e1 * s1b[i][None], c1 + e1 * s1b[i][None],
+                c2 - e2 * s2b[j][None], c2 + e2 * s2b[j][None],
+            )
+            cand = dict(sep=sep, pos=0.5 * (q1 + q2), n=a)
+            if best is None:
+                best = cand
+            else:
+                take = cand["sep"] > best["sep"]
+                best = dict(
+                    sep=jnp.where(take, cand["sep"], best["sep"]),
+                    pos=_where_v(take, cand["pos"], best["pos"]),
+                    n=_where_v(take, cand["n"], best["n"]),
+                )
+    # SAT dichotomy: the edge contact only exists when an edge cross axis is
+    # the least-penetrating axis overall; in the face-dominant case the
+    # vertex-face manifold already covers the contact and an extra edge slot
+    # (whose point/normal come from a non-witness axis) would double-count
+    dist = jnp.where(best["sep"] >= face_sep, best["sep"], _BIG)
+    dist = jnp.where(best["sep"] <= -_BIG / 2, _BIG, dist)
+    return dist[None], best["pos"][None], best["n"][None]
+
+
+# ---------------------------------------------------------------------------
+# Convex hulls (MESH geoms): static-feature SAT over precomputed halfspace
+# tables. Hull data per pair: verts (V, 3, k, 1) in the hull's geom frame,
+# faces split into normals fn (F, 3, k, 1) and offsets fd (F, k, 1) with
+# signed distance n.x + d (padding rows d = -1e10 never win the max).
+# ---------------------------------------------------------------------------
+
+
+def _point_hull_depth(x_l, fn, fd, support=None):
+    """Deepest-face signed distance of a point (hull frame) minus an optional
+    per-face support term; returns (dist (k,B), local face normal (3,k,B))."""
+    dists = jnp.sum(fn * x_l[None], axis=1) + fd  # (F, k, B)
+    if support is not None:
+        dists = dists - support
+    i = jnp.argmax(dists, axis=0)
+    iota = jax.lax.broadcasted_iota(jnp.int32, dists.shape, 0)
+    onehot = (iota == i[None]).astype(x_l.dtype)
+    best = jnp.sum(dists * onehot, axis=0)
+    n_l = jnp.sum(fn * onehot[:, None], axis=0)
+    return best, n_l
+
+
+def _sphere_hull_probe(c, r, p2, R2, fn, fd, support=None):
+    """One contact of a sphere (center c, radius r) against a hull posed at
+    (p2, R2); returns (dist, pos, n) with n from the sphere into the hull."""
+    c_l = _matTvec(R2, c - p2)
+    best, n_l = _point_hull_depth(c_l, fn, fd, support=support)
+    dist = best - r
+    n_w = _matvec(R2, n_l)  # hull outward normal, toward the sphere
+    n = -n_w
+    pos = c + n * (r + 0.5 * dist)[None]
+    return dist[None], pos[None], n[None]
+
+
+def _make_sphere_hull(hull):
+    fn, fd = hull
+
+    def f(p1, R1, s1, p2, R2, s2):
+        return _sphere_hull_probe(p1, s1[0], p2, R2, fn, fd)
+
+    return f
+
+
+def _make_capsule_hull(hull, cylinder=False):
+    """Two endpoint-sphere probes along the axis (the capsule/cylinder
+    analogue of the capsule-box sphere probes, collision.py:296-309)."""
+    fn, fd = hull
+
+    def f(p1, R1, s1, p2, R2, s2):
+        ax = _col(R1, 2)
+        outs = [
+            _sphere_hull_probe(
+                p1 + ax * (t * s1[1])[None], s1[0], p2, R2, fn, fd
+            )
+            for t in (-1.0, 1.0)
+        ]
+        return (
+            jnp.concatenate([o[0] for o in outs]),
+            jnp.concatenate([o[1] for o in outs]),
+            jnp.concatenate([o[2] for o in outs]),
+        )
+
+    return f
+
+
+def _make_ellipsoid_hull(hull):
+    """SAT over hull faces with the exact ellipsoid support along each face
+    normal: support(n) = ||diag(s) R_e^T n||."""
+    fn, fd = hull
+
+    def f(p1, R1, s1, p2, R2, s2):
+        c_l = _matTvec(R2, p1 - p2)
+        # per-face world normal in the ellipsoid frame: R1^T R2 n_f
+        M = jnp.einsum("jikb,jmkb->imkb", R1, R2)  # R1^T @ R2 (3,3,k,B)
+        fnB = jnp.broadcast_to(fn, fn.shape[:3] + (M.shape[-1],))
+        n_e = jnp.einsum("imkb,fmkb->fikb", M, fnB)  # (F,3,k,B)
+        support = jnp.sqrt(
+            jnp.maximum(jnp.sum((s1[None] * n_e) ** 2, axis=1), 1e-20)
+        )  # (F,k,B)
+        best, n_l = _point_hull_depth(c_l, fn, fd, support=support)
+        n_w = _matvec(R2, n_l)
+        n = -n_w
+        # ellipsoid surface point along -n_w at support distance
+        r_eff = jnp.sqrt(
+            jnp.maximum(jnp.sum((s1 * _matTvec(R1, n_w)) ** 2, axis=0), 1e-20)
+        )
+        pos = p1 + n * (r_eff + 0.5 * best)[None]
+        return best[None], pos[None], n[None]
+
+    return f
+
+
+def _make_plane_hull(hull_verts):
+    hv = hull_verts  # (V, 3, k, 1)
+
+    def f(p1, R1, s1, p2, R2, s2):
+        n = _col(R1, 2)
+        pn = _dot(p1, n)
+        V = hv.shape[0]
+        dists, poss = [], []
+        for v in range(V):
+            w = p2 + _matvec(R2, hv[v])
+            d = _dot(w, n) - pn
+            dists.append(d)
+            poss.append(w - 0.5 * d[None] * n)
+        d4, (c4,) = _take_smallest(jnp.stack(dists), [jnp.stack(poss)], 4)
+        nrm = jnp.broadcast_to(n[None], (4,) + n.shape)
+        return d4, c4, nrm
+
+    return f
+
+
+def _make_box_hull(hull):
+    """Box (g1) vs hull (g2): box corners vs hull halfspaces (4 deepest,
+    positive distances tracked) + hull verts vs box faces (4 deepest,
+    penetrating only) — the box-box manifold generalized."""
+    (fn, fd), hv = hull
+
+    def f(p1, R1, s1, p2, R2, s2):
+        # A: box corners against the hull
+        dists, poss, nrms = [], [], []
+        for c in range(8):
+            sgn = _CORNER_SIGNS[c]
+            off = _vec(sgn[0] * s1[0], sgn[1] * s1[1], sgn[2] * s1[2])
+            off = jnp.broadcast_to(off, (3,) + p1.shape[1:])
+            cw = p1 + _matvec(R1, off)
+            c_l = _matTvec(R2, cw - p2)
+            best, n_l = _point_hull_depth(c_l, fn, fd)
+            n_w = _matvec(R2, n_l)
+            n = -n_w  # from box into hull
+            dists.append(best)
+            poss.append(cw - 0.5 * best[None] * n)
+            nrms.append(n)
+        dA, (pA, nA) = _take_smallest(
+            jnp.stack(dists), [jnp.stack(poss), jnp.stack(nrms)], 4
+        )
+        # B: hull verts inside the box (penetrating only, as box-box)
+        s1b = None
+        dists, poss, nrms = [], [], []
+        V = hv.shape[0]
+        for v in range(V):
+            w = p2 + _matvec(R2, hv[v])
+            loc = _matTvec(R1, w - p1)
+            s1b = jnp.broadcast_to(s1, loc.shape) if s1b is None else s1b
+            face_dist = s1b - jnp.abs(loc)
+            pen = jnp.min(face_dist, axis=0)
+            kk = jnp.argmin(face_dist, axis=0)
+            iota3 = jax.lax.broadcasted_iota(jnp.int32, loc.shape, 0)
+            onehot = (iota3 == kk[None]).astype(loc.dtype)
+            sgn = jnp.sign(jnp.sum(loc * onehot, axis=0))
+            n_w = _matvec(R1, onehot * sgn[None])  # box outward = g1 -> g2
+            dist = jnp.where(pen > 0, -pen, _BIG)
+            dists.append(dist)
+            poss.append(w)
+            nrms.append(n_w)
+        dB, (pB, nB) = _take_smallest(
+            jnp.stack(dists), [jnp.stack(poss), jnp.stack(nrms)], 4
+        )
+        return (
+            jnp.concatenate([dA, dB]),
+            jnp.concatenate([pA, pB]),
+            jnp.concatenate([nA, nB]),
+        )
+
+    return f
+
+
+def _make_hull_hull(hull1, hull2):
+    """Hull-hull: each hull's verts against the other's halfspaces, 2 deepest
+    per direction."""
+    (fn1, fd1), hv1 = hull1
+    (fn2, fd2), hv2 = hull2
+
+    def verts_vs_hull(pv, Rv, hv, ph, Rh, fn, fd, sign):
+        dists, poss, nrms = [], [], []
+        for v in range(hv.shape[0]):
+            w = pv + _matvec(Rv, hv[v])
+            x_l = _matTvec(Rh, w - ph)
+            best, n_l = _point_hull_depth(x_l, fn, fd)
+            n_w = _matvec(Rh, n_l)
+            dists.append(best)
+            poss.append(w - 0.5 * best[None] * (sign * n_w))
+            nrms.append(sign * n_w)
+        return _take_smallest(
+            jnp.stack(dists), [jnp.stack(poss), jnp.stack(nrms)], 2
+        )
+
+    def f(p1, R1, s1, p2, R2, s2):
+        # verts of hull1 in hull2: hull2 outward normal points 2 -> 1, flip
+        dA, (pA, nA) = verts_vs_hull(p1, R1, hv1, p2, R2, fn2, fd2, -1.0)
+        # verts of hull2 in hull1: hull1 outward normal points 1 -> 2
+        dB, (pB, nB) = verts_vs_hull(p2, R2, hv2, p1, R1, fn1, fd1, 1.0)
+        return (
+            jnp.concatenate([dA, dB]),
+            jnp.concatenate([pA, pB]),
+            jnp.concatenate([nA, nB]),
+        )
+
+    return f
 
 
 def _dispatch(t1, t2):
@@ -490,7 +767,7 @@ def _make_narrowphase(meta: T.Meta):
     # would be created under the first caller's trace and leak into later ones
     perm_j = perm
 
-    def batched(gxpos, gxmat, sizes):
+    def batched(gxpos, gxmat, sizes, hull_vert, hull_face):
         # gxpos (B, ngeom, 3) -> (ngeom, 3, B); gxmat -> (ngeom, 3, 3, B)
         dtype = gxpos.dtype
         P = jnp.moveaxis(gxpos, 0, -1)
@@ -504,11 +781,40 @@ def _make_narrowphase(meta: T.Meta):
             s = sizes[i].T[:, :, None].astype(dtype)  # (3, k, 1)
             return p, R, s
 
+        def take_hull(gs):
+            hidx = np.array([meta.geom_hullid[g] for g in gs])
+            hv = hull_vert[hidx].astype(dtype)    # (k, V, 3)
+            hf = hull_face[hidx].astype(dtype)    # (k, F, 4)
+            hvT = jnp.transpose(hv, (1, 2, 0))[..., None]       # (V, 3, k, 1)
+            fn = jnp.transpose(hf[..., :3], (1, 2, 0))[..., None]  # (F,3,k,1)
+            fd = hf[..., 3].T[..., None]                         # (F, k, 1)
+            return hvT, (fn, fd)
+
         all_d, all_p, all_n, all_t = [], [], [], []
         for (t1, t2), entries in groups.items():
-            fn = _dispatch(t1, t2)
             S = C.pair_slots(t1, t2)
             k = len(entries)
+            if t2 == T.MESH:
+                g1s = [e[1] for e in entries]
+                g2s = [e[2] for e in entries]
+                hv2, hf2 = take_hull(g2s)
+                if t1 == T.PLANE:
+                    fn = _make_plane_hull(hv2)
+                elif t1 == T.SPHERE:
+                    fn = _make_sphere_hull(hf2)
+                elif t1 in (T.CAPSULE, T.CYLINDER):
+                    fn = _make_capsule_hull(hf2)
+                elif t1 == T.ELLIPSOID:
+                    fn = _make_ellipsoid_hull(hf2)
+                elif t1 == T.BOX:
+                    fn = _make_box_hull((hf2, hv2))
+                elif t1 == T.MESH:
+                    hv1, hf1 = take_hull(g1s)
+                    fn = _make_hull_hull((hf1, hv1), (hf2, hv2))
+                else:
+                    fn = None
+            else:
+                fn = _dispatch(t1, t2)
             if fn is None:
                 all_d.append(jnp.full((k * S, B), _BIG, dtype))
                 zero = jnp.zeros((k * S, 3, B), dtype)
@@ -548,20 +854,26 @@ def _make_narrowphase(meta: T.Meta):
         )
 
     @jax.custom_batching.custom_vmap
-    def narrow(gxpos, gxmat, sizes):
-        d, p, f = batched(gxpos[None], gxmat[None], sizes)
+    def narrow(gxpos, gxmat, sizes, hull_vert, hull_face):
+        d, p, f = batched(gxpos[None], gxmat[None], sizes,
+                          hull_vert, hull_face)
         return d[0], p[0], f[0]
 
     @narrow.def_vmap
-    def _rule(axis_size, in_batched, gxpos, gxmat, sizes):
+    def _rule(axis_size, in_batched, gxpos, gxmat, sizes,
+              hull_vert, hull_face):
         ngeom = meta.ngeom
         if not in_batched[0]:
             gxpos = jnp.broadcast_to(gxpos, (axis_size, ngeom, 3))
         if not in_batched[1]:
             gxmat = jnp.broadcast_to(gxmat, (axis_size, ngeom, 3, 3))
         if in_batched[2]:
-            sizes = sizes[0]  # geom sizes are identical across the batch
-        out = batched(gxpos, gxmat, sizes)
+            sizes = sizes[0]  # model constants are identical across the batch
+        if in_batched[3]:
+            hull_vert = hull_vert[0]
+        if in_batched[4]:
+            hull_face = hull_face[0]
+        out = batched(gxpos, gxmat, sizes, hull_vert, hull_face)
         return out, (True, True, True)
 
     return narrow
@@ -586,7 +898,12 @@ def collision(m: T.Model, d: T.Data) -> T.Data:
         return dataclasses.replace(d, contact=contact)
 
     narrow = _make_narrowphase(mt)
-    dist, pos, frame = narrow(d.geom_xpos, d.geom_xmat, m.geom_size)
+    hv = m.hull_vert
+    hf = m.hull_face
+    if hv is None:  # no mesh geoms in this model
+        hv = jnp.zeros((1, 1, 3), dtype)
+        hf = jnp.zeros((1, 1, 4), dtype)
+    dist, pos, frame = narrow(d.geom_xpos, d.geom_xmat, m.geom_size, hv, hf)
 
     g1s, g2s = [], []
     for g1, g2 in mt.pairs:

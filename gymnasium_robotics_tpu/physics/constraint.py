@@ -491,7 +491,7 @@ def solve_constraints(m: T.Model, d: T.Data) -> T.Data:
         fn = (solver_pallas.solve_small_nv2 if mt.nv == 2
               else solver_pallas.solve_small)
         qacc, f = fn(
-            d.qM, d.qacc_smooth, J, aref, D, active, is_eq,
+            d.qM, d.qacc_smooth, d.qacc, J, aref, D, active, is_eq,
             n_iter=min(mt.opt.iterations, 20),
             n_ls=min(mt.opt.ls_iterations, 8),
             interpret=jax.default_backend() != "tpu",
@@ -566,9 +566,10 @@ def solve_constraints(m: T.Model, d: T.Data) -> T.Data:
         return a + alpha * p
 
     n_iter = min(mt.opt.iterations, 20)
-    # unroll=2: halves loop-iteration launch overhead; the solver is
-    # launch-latency bound at typical (nv, nefc) sizes
-    a = jax.lax.fori_loop(0, n_iter, iteration, a_smooth, unroll=2)
+    # warmstart from the previous substep's qacc (mj_warmstart semantics;
+    # zeros on fresh Data, exactly like mj_resetData). unroll=2: halves
+    # loop-iteration launch overhead (the solver is launch-latency bound)
+    a = jax.lax.fori_loop(0, n_iter, iteration, d.qacc, unroll=2)
 
     x = x_of(a)
     aset = active_set(x) & active

@@ -26,7 +26,7 @@ _LANES = 128
 
 
 def _kernel(n_iter: int, n_ls: int,
-            M3_ref, asm_ref, J0_ref, J1_ref, aref_ref, D_ref, act_ref,
+            M3_ref, asm_ref, a0_ref, J0_ref, J1_ref, aref_ref, D_ref, act_ref,
             iseq_ref, qacc_ref, f_ref):
     # lane layout: every array is (rows, 128) with one env per lane
     m00 = M3_ref[0:1, :]
@@ -42,7 +42,9 @@ def _kernel(n_iter: int, n_ls: int,
     iseq = iseq_ref[...]
     uni = 1.0 - iseq
 
-    a0, a1 = as0, as1
+    # warmstart from the previous substep's qacc (mj_warmstart semantics)
+    a0 = a0_ref[0:1, :]
+    a1 = a0_ref[1:2, :]
 
     def dw_of(x):
         aset = jnp.maximum(iseq, jnp.where(x < 0.0, 1.0, 0.0)) * act
@@ -94,7 +96,7 @@ def _kernel(n_iter: int, n_ls: int,
     f_ref[...] = f
 
 
-def _solve_block(M3, asm, J0, J1, aref, D, act, iseq, n_iter, n_ls,
+def _solve_block(M3, asm, a0, J0, J1, aref, D, act, iseq, n_iter, n_ls,
                  interpret):
     """All inputs lane-layout (rows, Bp) with Bp % 128 == 0."""
     ne, Bp = J0.shape
@@ -107,21 +109,21 @@ def _solve_block(M3, asm, J0, J1, aref, D, act, iseq, n_iter, n_ls,
     qacc, f = pl.pallas_call(
         functools.partial(_kernel, n_iter, n_ls),
         grid=(grid,),
-        in_specs=[spec(3), spec(2), spec(ne), spec(ne), spec(ne), spec(ne),
-                  spec(ne), spec(ne)],
+        in_specs=[spec(3), spec(2), spec(2), spec(ne), spec(ne), spec(ne),
+                  spec(ne), spec(ne), spec(ne)],
         out_specs=[spec(2), spec(ne)],
         out_shape=(
             jax.ShapeDtypeStruct((2, Bp), dtype),
             jax.ShapeDtypeStruct((ne, Bp), dtype),
         ),
         interpret=interpret,
-    )(M3, asm, J0, J1, aref, D, act, iseq)
+    )(M3, asm, a0, J0, J1, aref, D, act, iseq)
     return qacc, f
 
 
-def _solve_batched(M, asm, J, aref, D, active, is_eq, n_iter, n_ls,
+def _solve_batched(M, asm, a0, J, aref, D, active, is_eq, n_iter, n_ls,
                    interpret):
-    """Batched solve: M (B,2,2), asm (B,2), J (B,ne,2), rest (B,ne)."""
+    """Batched solve: M (B,2,2), asm/a0 (B,2), J (B,ne,2), rest (B,ne)."""
     B, ne = aref.shape
     dtype = J.dtype
     Bp = -(-B // _LANES) * _LANES
@@ -137,10 +139,11 @@ def _solve_batched(M, asm, J, aref, D, active, is_eq, n_iter, n_ls,
     if pad:  # keep padded-det nonzero
         M3 = M3.at[0, B:].set(1.0).at[2, B:].set(1.0)
     asmT = lane(asm)
+    a0T = lane(a0)
     J0 = lane(J[:, :, 0])
     J1 = lane(J[:, :, 1])
     qacc, f = _solve_block(
-        M3, asmT, J0, J1, lane(aref), lane(D),
+        M3, asmT, a0T, J0, J1, lane(aref), lane(D),
         lane(active.astype(dtype)), lane(is_eq.astype(dtype)),
         n_iter, n_ls, interpret,
     )
@@ -153,40 +156,42 @@ def _solve_batched(M, asm, J, aref, D, active, is_eq, n_iter, n_ls,
 @functools.lru_cache(maxsize=None)
 def _make_solver(n_iter: int, n_ls: int, interpret: bool):
     @jax.custom_batching.custom_vmap
-    def solve(M, asm, J, aref, D, active, is_eq):
+    def solve(M, asm, a0, J, aref, D, active, is_eq):
         qacc, f = _solve_batched(
-            M[None], asm[None], J[None], aref[None], D[None],
+            M[None], asm[None], a0[None], J[None], aref[None], D[None],
             active[None], is_eq[None], n_iter, n_ls, interpret,
         )
         return qacc[0], f[0]
 
     @solve.def_vmap
-    def _rule(axis_size, in_batched, M, asm, J, aref, D, active, is_eq):
+    def _rule(axis_size, in_batched, M, asm, a0, J, aref, D, active, is_eq):
         def bc(x, b, shape):
             return x if b else jnp.broadcast_to(x, (axis_size,) + shape)
 
         M = bc(M, in_batched[0], (2, 2))
         asm = bc(asm, in_batched[1], (2,))
-        ne = J.shape[-2] if in_batched[2] else J.shape[0]
-        J = bc(J, in_batched[2], (ne, 2))
-        aref = bc(aref, in_batched[3], (ne,))
-        D = bc(D, in_batched[4], (ne,))
-        active = bc(active, in_batched[5], (ne,))
-        is_eq = bc(is_eq, in_batched[6], (ne,))
+        a0 = bc(a0, in_batched[2], (2,))
+        ne = J.shape[-2] if in_batched[3] else J.shape[0]
+        J = bc(J, in_batched[3], (ne, 2))
+        aref = bc(aref, in_batched[4], (ne,))
+        D = bc(D, in_batched[5], (ne,))
+        active = bc(active, in_batched[6], (ne,))
+        is_eq = bc(is_eq, in_batched[7], (ne,))
         out = _solve_batched(
-            M, asm, J, aref, D, active, is_eq, n_iter, n_ls, interpret
+            M, asm, a0, J, aref, D, active, is_eq, n_iter, n_ls, interpret
         )
         return out, (True, True)
 
     return solve
 
 
-def solve_small_nv2(M, a_smooth, J, aref, D, active, is_eq,
+def solve_small_nv2(M, a_smooth, a_warm, J, aref, D, active, is_eq,
                     n_iter: int, n_ls: int, interpret: bool = False):
-    """Single-env fused Newton solve for nv=2; vmap-compatible (the env-level
-    vmap becomes the pallas lane/grid batching). Returns (qacc, f)."""
+    """Single-env fused Newton solve for nv=2, warmstarted at a_warm
+    (mj_warmstart semantics); vmap-compatible (the env-level vmap becomes the
+    pallas lane/grid batching). Returns (qacc, f)."""
     solve = _make_solver(n_iter, n_ls, interpret)
-    return solve(M, a_smooth, J, aref, D, active, is_eq)
+    return solve(M, a_smooth, a_warm, J, aref, D, active, is_eq)
 
 
 # ---------------------------------------------------------------------------
@@ -228,8 +233,8 @@ def _chol_solve_lanes(H, b, nv):
 
 
 def _kernel_nv(nv: int, n_iter: int, n_ls: int,
-               M_ref, asm_ref, J_ref, aref_ref, D_ref, act_ref, iseq_ref,
-               qacc_ref, f_ref):
+               M_ref, asm_ref, a0_ref, J_ref, aref_ref, D_ref, act_ref,
+               iseq_ref, qacc_ref, f_ref):
     # M_ref (nv*(nv+1)//2, 128) packed lower-tri rows; J_ref (nv, ne, 128)
     Mp = {}
     idx = 0
@@ -264,7 +269,8 @@ def _kernel_nv(nv: int, n_iter: int, n_ls: int,
             out = out + Jk[k] * a[k]
         return out
 
-    a = list(asm)
+    # warmstart from the previous substep's qacc (mj_warmstart semantics)
+    a = [a0_ref[i:i + 1, :] for i in range(nv)]
     for _ in range(n_iter):
         x = Jdot(a) - aref
         Dw = dw_of(x)
@@ -306,9 +312,9 @@ def _kernel_nv(nv: int, n_iter: int, n_ls: int,
     f_ref[...] = f
 
 
-def _solve_batched_nv(M, asm, J, aref, D, active, is_eq, nv, n_iter, n_ls,
-                      interpret):
-    """Batched solve for general small nv: M (B,nv,nv), asm (B,nv),
+def _solve_batched_nv(M, asm, a0, J, aref, D, active, is_eq, nv, n_iter,
+                      n_ls, interpret):
+    """Batched solve for general small nv: M (B,nv,nv), asm/a0 (B,nv),
     J (B,ne,nv), rest (B,ne)."""
     B, ne = aref.shape
     dtype = J.dtype
@@ -331,6 +337,7 @@ def _solve_batched_nv(M, asm, J, aref, D, active, is_eq, nv, n_iter, n_ls,
                     M3 = M3.at[idx, B:].set(1.0)
                 idx += 1
     asmT = lane(asm)
+    a0T = lane(a0)
     Jl = lane(J.transpose(0, 2, 1))  # (B, nv, ne) -> (nv, ne, Bp)
     grid = Bp // _LANES
     nM = nv * (nv + 1) // 2
@@ -342,7 +349,7 @@ def _solve_batched_nv(M, asm, J, aref, D, active, is_eq, nv, n_iter, n_ls,
         functools.partial(_kernel_nv, nv, n_iter, n_ls),
         grid=(grid,),
         in_specs=[
-            spec2(nM), spec2(nv),
+            spec2(nM), spec2(nv), spec2(nv),
             pl.BlockSpec((nv, ne, _LANES), lambda i: (0, 0, i)),
             spec2(ne), spec2(ne), spec2(ne), spec2(ne),
         ],
@@ -352,7 +359,7 @@ def _solve_batched_nv(M, asm, J, aref, D, active, is_eq, nv, n_iter, n_ls,
             jax.ShapeDtypeStruct((ne, Bp), dtype),
         ),
         interpret=interpret,
-    )(M3, asmT, Jl, lane(aref), lane(D),
+    )(M3, asmT, a0T, Jl, lane(aref), lane(D),
       lane(active.astype(dtype)), lane(is_eq.astype(dtype)))
     return (
         jnp.moveaxis(qacc[:, :B], -1, 0),
@@ -363,41 +370,43 @@ def _solve_batched_nv(M, asm, J, aref, D, active, is_eq, nv, n_iter, n_ls,
 @functools.lru_cache(maxsize=None)
 def _make_solver_nv(nv: int, n_iter: int, n_ls: int, interpret: bool):
     @jax.custom_batching.custom_vmap
-    def solve(M, asm, J, aref, D, active, is_eq):
+    def solve(M, asm, a0, J, aref, D, active, is_eq):
         qacc, f = _solve_batched_nv(
-            M[None], asm[None], J[None], aref[None], D[None],
+            M[None], asm[None], a0[None], J[None], aref[None], D[None],
             active[None], is_eq[None], nv, n_iter, n_ls, interpret,
         )
         return qacc[0], f[0]
 
     @solve.def_vmap
-    def _rule(axis_size, in_batched, M, asm, J, aref, D, active, is_eq):
+    def _rule(axis_size, in_batched, M, asm, a0, J, aref, D, active, is_eq):
         def bc(x, b, shape):
             return x if b else jnp.broadcast_to(x, (axis_size,) + shape)
 
         ne = J.shape[-2]
         M = bc(M, in_batched[0], (nv, nv))
         asm = bc(asm, in_batched[1], (nv,))
-        J = bc(J, in_batched[2], (ne, nv))
-        aref = bc(aref, in_batched[3], (ne,))
-        D = bc(D, in_batched[4], (ne,))
-        active = bc(active, in_batched[5], (ne,))
-        is_eq = bc(is_eq, in_batched[6], (ne,))
+        a0 = bc(a0, in_batched[2], (nv,))
+        J = bc(J, in_batched[3], (ne, nv))
+        aref = bc(aref, in_batched[4], (ne,))
+        D = bc(D, in_batched[5], (ne,))
+        active = bc(active, in_batched[6], (ne,))
+        is_eq = bc(is_eq, in_batched[7], (ne,))
         out = _solve_batched_nv(
-            M, asm, J, aref, D, active, is_eq, nv, n_iter, n_ls, interpret
+            M, asm, a0, J, aref, D, active, is_eq, nv, n_iter, n_ls, interpret
         )
         return out, (True, True)
 
     return solve
 
 
-def solve_small(M, a_smooth, J, aref, D, active, is_eq,
+def solve_small(M, a_smooth, a_warm, J, aref, D, active, is_eq,
                 n_iter: int, n_ls: int, interpret: bool = False):
     """Fused Newton solve for general small nv (compile-time constant from
-    J's static shape); vmap-compatible. Returns (qacc, f)."""
+    J's static shape), warmstarted at a_warm; vmap-compatible.
+    Returns (qacc, f)."""
     nv = J.shape[-1]
     solve = _make_solver_nv(nv, n_iter, n_ls, interpret)
-    return solve(M, a_smooth, J, aref, D, active, is_eq)
+    return solve(M, a_smooth, a_warm, J, aref, D, active, is_eq)
 
 
 # ---------------------------------------------------------------------------

@@ -160,6 +160,10 @@ class Meta:
     # static facts precomputed at import
     has_damping: bool = False
 
+    # convex-hull index per geom (-1 for non-mesh geoms); hull vertex/face
+    # arrays live in Model.hull_vert / hull_face
+    geom_hullid: Tuple[int, ...] = ()
+
     # names for host-side lookup (never used inside jit)
     body_names: Tuple[str, ...] = ()
     joint_names: Tuple[str, ...] = ()
@@ -244,6 +248,12 @@ class Model:
 
     # visual-only (rendering): rgba per geom; None on pre-r2 compiled assets
     geom_rgba: Any = None         # (ngeom, 4)
+
+    # convex hulls for MESH geoms (static-feature SAT narrowphase): verts in
+    # the geom frame (padded by repeating), faces as halfspaces (n, d) with
+    # signed distance n.x + d (padding rows have d = -1e10 so they never win)
+    hull_vert: Any = None         # (nhull, HULL_V, 3)
+    hull_face: Any = None         # (nhull, HULL_F, 4)
 
     # per-contact-slot mixed params (aligned with collision slot order)
     con_friction: Any = None      # (ncon, 5)

