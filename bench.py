@@ -73,7 +73,9 @@ def bench_family(env_id, num_envs, steps, timeout_s):
         )
         for line in out.stdout.splitlines():
             if line.startswith("RESULT "):
+                time.sleep(20)  # give the exiting child's grant time to clear
                 return json.loads(line[len("RESULT "):])["sps"], "steploop"
+        time.sleep(20)
     except subprocess.TimeoutExpired:
         time.sleep(120)  # let the wedged grant recycle before the next family
     return None, None
@@ -99,9 +101,13 @@ def main():
             continue
         if cpu:
             num_envs = max(num_envs // 16, 64)
-        # leave the family at most the remaining budget (plus slack for the
-        # flagship, which must land for the headline)
-        family_timeout = max(budget_s - elapsed, 300 if headline_printed else 900)
+        # per-family cap: a single wedged family (device-grant hang) must not
+        # starve the rest of the ladder; the flagship gets the larger slice
+        # because the headline depends on it
+        family_timeout = min(
+            max(budget_s - elapsed, 300 if headline_printed else 900),
+            900 if headline_printed else 1200,
+        )
         t0 = time.perf_counter()
         sps, mode = bench_family(env_id, num_envs, steps, timeout_s=family_timeout)
         if sps is None:

@@ -70,7 +70,7 @@ class GymAdapter(gym.Env if gym else object):
 
             hook = getattr(self.env, "reset_with_values", None)
             values = (
-                P.sample_reset_values(self.env, self.np_random)
+                P.sample_reset_values(self.env, self.np_random, options)
                 if hook is not None else None
             )
             if values is not None:

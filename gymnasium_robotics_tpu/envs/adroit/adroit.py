@@ -42,7 +42,7 @@ class AdroitEnv(core.FunctionalEnv):
         npdtype = np.float64 if dtype == jnp.float64 else np.float32
         self.model, extra = serialize.load_asset(f"adroit/{self.task}", dtype=npdtype)
         self.model = self.model.with_options(
-            contact_cap=32, iterations=5, ls_iterations=4
+            contact_cap=16, iterations=5, ls_iterations=4
         )
         self._init_qpos = jnp.asarray(extra["initial_qpos"], dtype)
         self._init_qvel = jnp.asarray(extra["initial_qvel"], dtype)

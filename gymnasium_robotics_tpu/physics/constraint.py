@@ -481,7 +481,12 @@ def solve_constraints(m: T.Model, d: T.Data) -> T.Data:
         )
 
     fused = mt.opt.fused_solver
-    use_fused = mt.nv <= 24 and (
+    # gate raised 24 -> 36 in round 2: warmstart halved the iteration count,
+    # keeping the unrolled kernel compilable at hand's nv=36. The J block
+    # (nv x ne x 128 lanes, double-buffered) must fit VMEM: nv*ne <= 16k
+    # admits hand (432x36) and adroit (438x30) but keeps kitchen (668x29)
+    # on the generic path.
+    use_fused = mt.nv <= 36 and n_rows * mt.nv <= 10000 and (
         fused is True or fused == "force"
         or (fused == "auto" and jax.default_backend() == "tpu")
     )

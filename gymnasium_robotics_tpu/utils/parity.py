@@ -21,26 +21,28 @@ from __future__ import annotations
 import numpy as np
 
 
-def sample_reset_values(env, np_random: np.random.Generator):
+def sample_reset_values(env, np_random: np.random.Generator, options=None):
     """Draw the reset randomness for ``env`` in the reference's exact order;
     returns the value dict for ``env.reset_with_values`` or None when the
     family has no parity sampler yet."""
     name = type(env).__name__
     if name == "PointMazeEnv" or name == "AntMazeEnv":
-        return _maze_values(env, np_random)
+        return _maze_values(env, np_random, options)
     if "Fetch" in name:
         return _fetch_values(env, np_random)
     return None
 
 
-def _maze_values(env, rng: np.random.Generator):
+def _maze_values(env, rng: np.random.Generator, options=None):
     """maze_v4.py:276-368: goal cell draw + xy noise, then rejection-sampled
-    reset cell + xy noise."""
+    reset cell + xy noise; explicit goal_cell/reset_cell options replace the
+    corresponding cell draws (maze_v4.py:299-358) but keep the noise draws."""
     maze = env.maze
     goal_locs = [np.array(g, np.float64) for g in maze.goal_locations]
     reset_locs = [np.array(r, np.float64) for r in maze.reset_locations]
     scale = maze.size_scaling
     nr = getattr(env, "position_noise_range", 0.25)
+    options = options or {}
 
     def add_noise(xy):
         xy = xy.copy()
@@ -48,13 +50,23 @@ def _maze_values(env, rng: np.random.Generator):
         xy[1] += rng.uniform(-nr, nr) * scale
         return xy
 
-    goal = goal_locs[rng.integers(low=0, high=len(goal_locs))].copy()
+    if options.get("goal_cell") is not None:
+        goal = np.asarray(
+            maze.cell_rowcol_to_xy(options["goal_cell"]), np.float64
+        )
+    else:
+        goal = goal_locs[rng.integers(low=0, high=len(goal_locs))].copy()
     goal = add_noise(goal)
-    reset_pos = goal.copy()
-    while np.linalg.norm(reset_pos - goal) <= 0.5 * scale:
-        reset_pos = reset_locs[
-            rng.integers(low=0, high=len(reset_locs))
-        ].copy()
+    if options.get("reset_cell") is not None:
+        reset_pos = np.asarray(
+            maze.cell_rowcol_to_xy(options["reset_cell"]), np.float64
+        )
+    else:
+        reset_pos = goal.copy()
+        while np.linalg.norm(reset_pos - goal) <= 0.5 * scale:
+            reset_pos = reset_locs[
+                rng.integers(low=0, high=len(reset_locs))
+            ].copy()
     reset_pos = add_noise(reset_pos)
     return {"goal_xy": goal, "reset_xy": reset_pos}
 

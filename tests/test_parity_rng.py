@@ -100,3 +100,50 @@ def test_fetch_push_reset_parity():
         np.testing.assert_allclose(
             oo["achieved_goal"][:2], ro["achieved_goal"][:2], atol=1e-3
         )
+
+
+def test_maze_reset_cell_golden():
+    """reset_cell option lands the agent at the reference's exact coordinates
+    (golden values from tests/envs/maze/test_point_maze.py:20-32)."""
+    map_ = [
+        [1, 1, 1, 1],
+        [1, "r", "r", 1],
+        [1, "r", "g", 1],
+        [1, 1, 1, 1],
+    ]
+    env = registry.make_gym("PointMaze_UMaze-v3", parity=True, maze_map=map_)
+    obs, _ = env.reset(options={"reset_cell": [1, 2]}, seed=42)
+    desired = np.array([0.67929896, 0.59868401, 0, 0])
+    np.testing.assert_almost_equal(desired, obs["observation"], decimal=4)
+
+
+def test_maze_goal_cell_golden():
+    """goal_cell option spawns the goal at the reference's exact coordinates
+    (golden values from tests/envs/maze/test_point_maze.py:35-45)."""
+    map_ = [
+        [1, 1, 1, 1],
+        [1, "r", "g", 1],
+        [1, "g", "g", 1],
+        [1, 1, 1, 1],
+    ]
+    env = registry.make_gym("PointMaze_UMaze-v3", parity=True, maze_map=map_)
+    obs, _ = env.reset(options={"goal_cell": [2, 1]}, seed=42)
+    desired = np.array([-0.36302198, -0.53056078])
+    np.testing.assert_almost_equal(desired, obs["desired_goal"], decimal=4)
+
+
+def test_maze_reset_never_in_success_state():
+    """Reset never lands within the success radius of the goal (reference
+    tests/envs/maze/test_point_maze.py:9-17, vectorized)."""
+    import jax
+
+    env = registry.make("PointMaze_UMaze-v3", continuing_task=True)
+    states = jax.jit(jax.vmap(env.initial))(
+        jax.random.split(jax.random.key(0), 512)
+    )
+    d = np.linalg.norm(
+        np.asarray(states.obs["achieved_goal"])
+        - np.asarray(states.obs["desired_goal"]),
+        axis=-1,
+    )
+    assert (d > 0.45).all(), f"min reset distance {d.min()}"
