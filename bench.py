@@ -46,16 +46,24 @@ if mode == "scan":
     env = registry.make(env_id)
     sps = R.rollout_steps_per_sec(env, num_envs, steps, repeats=2)
 else:
+    import contextlib, os
     import numpy as np
+    from gymnasium_robotics_tpu.parallel import profiling
     env = registry.make(env_id, num_envs=num_envs)
     env.reset(seed=0)
     a = np.zeros((num_envs,) + env.action_space.shape, np.float32)
     out = env.step(a); jax.block_until_ready(jax.tree_util.tree_leaves(out[0])[0])
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        out = env.step(a)
-    jax.block_until_ready(jax.tree_util.tree_leaves(out[0])[0])
-    sps = num_envs * steps / (time.perf_counter() - t0)
+    # BENCH_TRACE=<dir>: capture an XProf device trace of the timed loop
+    tracer = (profiling.trace(os.environ["BENCH_TRACE"])
+              if os.environ.get("BENCH_TRACE") else contextlib.nullcontext())
+    timer = profiling.StepTimer(num_envs)
+    with tracer:
+        timer.reset()
+        for _ in range(steps):
+            out = env.step(a)
+            timer.tick()
+        jax.block_until_ready(jax.tree_util.tree_leaves(out[0])[0])
+    sps = timer.steps_per_sec
 print("RESULT " + json.dumps({"sps": sps}))
 """
 
