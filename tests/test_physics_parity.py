@@ -316,3 +316,42 @@ def test_box_box_edge_edge_contact():
     p2b = jnp.asarray([0, 0, z2 + 0.2], jnp.float32).reshape(3, 1, 1)
     d2, _, _ = cv._box_box_edge(p1, R1m, s1, p2b, R2m, s2)
     assert abs(float(d2[0, 0, 0]) - 0.15) < 1e-5
+
+
+def test_hull_sat_matches_box_analytic():
+    """A convex hull built from a box's corners must reproduce the analytic
+    sphere-box distances through the hull-SAT path (collision_vec
+    _sphere_hull_probe) for face-region queries."""
+    import numpy as np
+
+    from gymnasium_robotics_tpu.mjcf.import_mjcf import _convex_hull
+    from gymnasium_robotics_tpu.physics import collision_vec as cv
+
+    half = np.array([0.2, 0.3, 0.4])
+    corners = np.array(
+        [[i, j, k] for i in (-1, 1) for j in (-1, 1) for k in (-1, 1)],
+        dtype=np.float64,
+    ) * half
+    hv, hf = _convex_hull(corners)
+    fn = jnp.asarray(hf[:, :3], jnp.float32).reshape(-1, 3, 1, 1)
+    fd = jnp.asarray(hf[:, 3], jnp.float32).reshape(-1, 1, 1)
+
+    def probe(center, r):
+        c = jnp.asarray(center, jnp.float32).reshape(3, 1, 1)
+        p2 = jnp.zeros((3, 1, 1), jnp.float32)
+        R2 = jnp.asarray(np.eye(3), jnp.float32).reshape(3, 3, 1, 1)
+        d, pos, n = cv._sphere_hull_probe(
+            c, jnp.full((1, 1), r, jnp.float32), p2, R2, fn, fd
+        )
+        return float(d[0, 0, 0]), np.asarray(n)[0, :, 0, 0]
+
+    # face-region queries: exact distance and face normal
+    d, n = probe([0.0, 0.0, 0.9], 0.1)   # above +z face
+    assert abs(d - (0.9 - 0.4 - 0.1)) < 1e-5
+    np.testing.assert_allclose(n, [0, 0, -1], atol=1e-5)
+    d, n = probe([0.5, 0.0, 0.0], 0.1)   # outside +x face
+    assert abs(d - (0.5 - 0.2 - 0.1)) < 1e-5
+    # center inside the hull near the -y face: depth = -(0.05 + r)
+    d, n = probe([0.0, -0.25, 0.0], 0.1)
+    assert abs(d - (-0.15)) < 1e-5
+    np.testing.assert_allclose(n, [0, 1, 0], atol=1e-5)  # -outward, as _sphere_box inside case
