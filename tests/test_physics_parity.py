@@ -355,3 +355,45 @@ def test_hull_sat_matches_box_analytic():
     d, n = probe([0.0, -0.25, 0.0], 0.1)
     assert abs(d - (-0.15)) < 1e-5
     np.testing.assert_allclose(n, [0, 1, 0], atol=1e-5)  # -outward, as _sphere_box inside case
+
+
+def test_hull_contact_matches_mujoco_mesh():
+    """Cross-engine: the hull face-SAT contact agrees with MuJoCo's mesh
+    (MPR) collision for face-region queries on a convex mesh."""
+    import numpy as np
+
+    verts = np.array(
+        [[i, j, k] for i in (-0.1, 0.1) for j in (-0.12, 0.12)
+         for k in (-0.06, 0.06)]
+    )
+    vtxt = " ".join(str(x) for x in verts.ravel())
+    xml = f"""<mujoco>
+      <asset><mesh name="bx" vertex="{vtxt}"/></asset>
+      <worldbody>
+        <body pos="0 0 0"><freejoint/><geom type="mesh" mesh="bx"/></body>
+        <body pos="0 0 0.2"><freejoint/><geom type="sphere" size="0.05"/></body>
+      </worldbody></mujoco>"""
+    mjm = mujoco.MjModel.from_xml_string(xml)
+    mjd = mujoco.MjData(mjm)
+    m = import_model(mjm, dtype=np.float64)
+    fwd = jax.jit(pipeline.forward)
+    rng = np.random.default_rng(0)
+    checked = 0
+    for _ in range(30):
+        mjd.qpos[:] = mjm.qpos0
+        mjd.qpos[7:10] = [
+            rng.uniform(-0.05, 0.05), rng.uniform(-0.06, 0.06),
+            rng.uniform(0.095, 0.115),  # near the top face, face region
+        ]
+        mujoco.mj_forward(mjm, mjd)
+        if mjd.ncon != 1:
+            continue
+        d = pipeline.make_data(m, dtype=jnp.float64)
+        d = dataclasses.replace(d, qpos=jnp.asarray(mjd.qpos.copy()))
+        d = fwd(m, d)
+        ours = float(np.asarray(d.contact.dist).min())
+        assert abs(ours - mjd.contact[0].dist) < 2e-3, (
+            ours, mjd.contact[0].dist
+        )
+        checked += 1
+    assert checked > 10
