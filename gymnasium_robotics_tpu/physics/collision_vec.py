@@ -730,7 +730,7 @@ def _contact_frame_soa(n, t1):
     ok = jnp.all(jnp.isfinite(t1), axis=0)
     t1 = _where_v(ok, jnp.nan_to_num(t1), generic)
     t2 = _cross(n, t1)
-    return jnp.stack([n, t1, t2], axis=1)  # (3rows->axis1? see caller)
+    return jnp.stack([n, t1, t2], axis=1)  # (3comp, 3rows, N, B)
 
 
 # ---------------------------------------------------------------------------
