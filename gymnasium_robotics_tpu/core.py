@@ -110,6 +110,7 @@ def auto_reset(env: FunctionalEnv, state: EnvState, action) -> EnvState:
     # truncated and the slot resets — without this a single diverged env in a
     # batch stays NaN forever (no done signal ever fires)
     data = stepped.data
+    bad = jnp.zeros_like(truncated)
     if data is not None and getattr(data, "qacc", None) is not None \
             and data.qacc.size:
         q_mag = jnp.max(jnp.abs(data.qacc)) + jnp.max(jnp.abs(data.qpos))
@@ -132,10 +133,29 @@ def auto_reset(env: FunctionalEnv, state: EnvState, action) -> EnvState:
     out = pick(fresh, stepped)
     # reward/terminated/truncated of the *transition* are reported even when
     # the state was auto-reset (standard vectorized-env semantics)
+    info = stepped.info
+    if isinstance(state.info, dict) and "diverged" in state.info:
+        # Surface the divergence event (advisor finding r2): the reference
+        # engine resets mjData on mjWARN_BADQACC *without* a done signal;
+        # here the episode ends as truncated, and info['diverged'] lets
+        # consumers tell it apart from TimeLimit truncation. The key is
+        # created at the batch boundary (adapters/rollout via with_diverged)
+        # so per-family info pytrees stay untouched and scan carries are
+        # structure-stable.
+        info = dict(info)
+        info["diverged"] = bad
     return dataclasses.replace(
         out,
         reward=stepped.reward,
         terminated=stepped.terminated,
         truncated=truncated,
-        info=stepped.info,
+        info=info,
     )
+
+
+def with_diverged(state: EnvState) -> EnvState:
+    """Opt a freshly-initialized state into divergence reporting: adds a
+    ``diverged`` flag to ``info`` that auto_reset keeps updated."""
+    info = dict(state.info)
+    info["diverged"] = jnp.zeros(jnp.shape(state.truncated), bool)
+    return dataclasses.replace(state, info=info)

@@ -54,6 +54,7 @@ class GymAdapter(gym.Env if gym else object):
         self._seed_counter = 0
         self._render_kin = None
         self._parity_reset = None
+        self._parity_step = None
 
     def reset(self, *, seed: Optional[int] = None, options: Optional[dict] = None):
         if gym is not None:
@@ -101,7 +102,27 @@ class GymAdapter(gym.Env if gym else object):
         )
 
     def step(self, action):
-        self._state = self._step(self._state, jnp.asarray(action))
+        if self.parity:
+            # families whose reference draws randomness during step (kitchen
+            # obs noise, franka_env.py:118-127): inject host-drawn values
+            from gymnasium_robotics_tpu.utils import parity as P
+
+            hook = getattr(self.env, "step_with_values", None)
+            values = (
+                P.sample_step_values(self.env, self.np_random)
+                if hook is not None else None
+            )
+            if values is not None:
+                if self._parity_step is None:
+                    self._parity_step = jax.jit(hook)
+                self._state = self._parity_step(
+                    self._state, jnp.asarray(action),
+                    jax.tree_util.tree_map(jnp.asarray, values),
+                )
+            else:
+                self._state = self._step(self._state, jnp.asarray(action))
+        else:
+            self._state = self._step(self._state, jnp.asarray(action))
         s = self._state
         truncated = bool(s.truncated)
         # TimeLimit semantics: the reference registry wraps every env in

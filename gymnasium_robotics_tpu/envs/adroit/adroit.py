@@ -109,6 +109,16 @@ class AdroitEnv(core.FunctionalEnv):
     def reset(self, state, rng):
         rng, r_aux = jax.random.split(rng)
         aux = self._sample_aux(r_aux)
+        return self._reset_with_aux(state, rng, aux)
+
+    def reset_with_values(self, state, values):
+        """Parity-mode reset: scene randomization values drawn on the host in
+        the reference's exact NumPy order (reset_model draws, e.g.
+        adroit_door.py:359-371; utils/parity.py)."""
+        aux = {k: jnp.asarray(v, self.dtype) for k, v in values.items()}
+        return self._reset_with_aux(state, state.rng, aux)
+
+    def _reset_with_aux(self, state, rng, aux):
         m = self._model_for(aux)
         data = pipeline.make_data(self.model, dtype=self.dtype)
         data = dataclasses.replace(

@@ -32,7 +32,10 @@ class BatchedEnv:
         self._sharding = sharding
 
         def _init(rng):
-            return jax.vmap(env.initial)(jax.random.split(rng, num_envs))
+            state = jax.vmap(env.initial)(jax.random.split(rng, num_envs))
+            # opt into divergence reporting: info['diverged'] distinguishes
+            # the BADQACC-analogue truncation from TimeLimit (core.auto_reset)
+            return core.with_diverged(state)
 
         def _step(state, action):
             return jax.vmap(functools.partial(core.auto_reset, env))(state, action)

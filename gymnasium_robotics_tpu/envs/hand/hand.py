@@ -200,6 +200,26 @@ class HandReachEnv(HandBaseEnv):
             info={"is_success": success}, rng=rng, steps=state.steps + 1,
         )
 
+    def reset_with_values(self, state, values):
+        """Parity-mode reset: the goal pattern was computed on the host with
+        the reference's exact NumPy draw order (reach.py:99-126 via
+        utils/parity.py); physics state is the deterministic initial pose."""
+        data = pipeline.make_data(self.model, dtype=self.dtype)
+        data = dataclasses.replace(
+            data, qpos=self._init_qpos, qvel=self._init_qvel
+        )
+        data = smooth.kinematics(self.model, data)
+        data = smooth.com_pos(self.model, data)
+        goal = jnp.asarray(values["goal"], self.dtype)
+        obs = self._get_obs(data, goal)
+        return dataclasses.replace(
+            state, data=data, obs=obs,
+            reward=jnp.zeros((), self.dtype),
+            terminated=jnp.zeros((), bool), truncated=jnp.zeros((), bool),
+            info={"is_success": jnp.zeros((), self.dtype)},
+            goal=goal, steps=jnp.zeros((), jnp.int32),
+        )
+
 
 class HandManipulateEnv(HandBaseEnv):
     """manipulate.py:18-315 semantics; see module docstring for the reset
@@ -444,6 +464,52 @@ class HandManipulateEnv(HandBaseEnv):
             state, data=data, obs=obs, reward=reward,
             terminated=jnp.zeros((), bool), truncated=jnp.zeros((), bool),
             info={"is_success": success}, rng=rng, steps=state.steps + 1,
+        )
+
+    def reset_with_values(self, state, values):
+        """Parity-mode reset: the randomized object pose and the goal draws
+        were produced on the host with the reference's exact NumPy draw order
+        (manipulate.py:154-279 via utils/parity.py). The settle (10 x
+        n_substeps with zero action, manipulate.py:217-222) runs here on
+        device; the goal position offset is applied to the SETTLED object
+        position, exactly like the reference's _sample_goal after _reset_sim."""
+        data = pipeline.make_data(self.model, dtype=self.dtype)
+        data = dataclasses.replace(
+            data, qpos=self._init_qpos, qvel=self._init_qvel
+        )
+        qpos = jax.lax.dynamic_update_slice(
+            data.qpos, jnp.asarray(values["obj_qpos7"], self.dtype),
+            (self._obj_qadr,),
+        )
+        data = dataclasses.replace(data, qpos=qpos)
+        zero_ctrl = self._apply_action(data, jnp.zeros(20, self.dtype))
+        data = pipeline.step_n(
+            self.model, data, zero_ctrl, 10 * self.n_substeps
+        )
+        obj = jax.lax.dynamic_slice(data.qpos, (self._obj_qadr,), (7,))
+        if self.target_position == "random":
+            pos = obj[:3] + jnp.asarray(values["goal_offset"], self.dtype)
+        else:  # ignore / fixed: settled object position
+            pos = obj[:3]
+        if self.target_rotation in ("ignore", "fixed"):
+            quat = obj[3:7]
+        else:
+            quat = jnp.asarray(values["goal_quat"], self.dtype)
+        quat, _ = _normalize(quat)
+        goal = jnp.concatenate([pos, quat])
+        qpos = jax.lax.dynamic_update_slice(
+            data.qpos, goal, (self._target_qadr,)
+        )
+        data = dataclasses.replace(data, qpos=qpos)
+        data = smooth.kinematics(self.model, data)
+        data = smooth.com_pos(self.model, data)
+        obs = self._get_obs(data, goal)
+        return dataclasses.replace(
+            state, data=data, obs=obs,
+            reward=jnp.zeros((), self.dtype),
+            terminated=jnp.zeros((), bool), truncated=jnp.zeros((), bool),
+            info={"is_success": jnp.zeros((), self.dtype)},
+            goal=goal, steps=jnp.zeros((), jnp.int32),
         )
 
 

@@ -79,11 +79,11 @@ class KitchenEnv(core.GoalEnv):
         self._vel_bound = jnp.asarray(extra["vel_bound"], dtype)
         self._pos_amp = jnp.asarray(extra["pos_noise_amp"], dtype)
         self._vel_amp = jnp.asarray(extra["vel_noise_amp"], dtype)
-        ctrlrange = np.asarray(jax.device_get(self.model.actuator_ctrlrange))
-        self._act_mid = jnp.asarray(ctrlrange.mean(axis=1), dtype)
-        self._act_rng = jnp.asarray(
-            0.5 * (ctrlrange[:, 1] - ctrlrange[:, 0]), dtype
-        )
+        # action -> joint-velocity denormalization: the reference hardcodes
+        # act_mid=0, act_rng=2 rad/s (franka_env.py:80-81) — it does NOT use
+        # the actuator ctrlrange
+        self._act_mid = jnp.zeros(9, dtype)
+        self._act_rng = 2.0 * jnp.ones(9, dtype)
         self.dt = self.model.opt.timestep * self.frame_skip
         self._goal = {
             t: jnp.asarray(OBS_ELEMENT_GOALS[t], dtype) for t in self.tasks
@@ -129,16 +129,30 @@ class KitchenEnv(core.GoalEnv):
         return jnp.zeros_like(done)
 
     # --- obs ---
-    def _get_obs(self, data, rng):
+    def _draw_noise(self, rng):
+        """Raw U(-1,1) noise vectors in the reference's draw order
+        (franka_env.py:118-127 robot, kitchen_env.py:376-385 objects)."""
         r1, r2, r3, r4 = jax.random.split(rng, 4)
+        return {
+            "robot_pos": jax.random.uniform(r1, (9,), self.dtype, -1.0, 1.0),
+            "robot_vel": jax.random.uniform(r2, (9,), self.dtype, -1.0, 1.0),
+            "obj_pos": jax.random.uniform(
+                r3, (self.model.nq - 9,), self.dtype, -1.0, 1.0
+            ),
+            "obj_vel": jax.random.uniform(
+                r4, (self.model.meta.nv - 9,), self.dtype, -1.0, 1.0
+            ),
+        }
+
+    def _get_obs(self, data, noise):
         robot_qpos = data.qpos[:9] + self.robot_noise_ratio * self._pos_amp[:9] * \
-            jax.random.uniform(r1, (9,), self.dtype, -1.0, 1.0)
+            jnp.asarray(noise["robot_pos"], self.dtype)
         robot_qvel = data.qvel[:9] + self.robot_noise_ratio * self._vel_amp[:9] * \
-            jax.random.uniform(r2, (9,), self.dtype, -1.0, 1.0)
+            jnp.asarray(noise["robot_vel"], self.dtype)
         obj_qpos = data.qpos[9:] + self.object_noise_ratio * self._pos_amp[8:29] * \
-            jax.random.uniform(r3, (self.model.nq - 9,), self.dtype, -1.0, 1.0)
+            jnp.asarray(noise["obj_pos"], self.dtype)
         obj_qvel = data.qvel[9:] + self.object_noise_ratio * self._vel_amp[9:30] * \
-            jax.random.uniform(r4, (self.model.meta.nv - 9,), self.dtype, -1.0, 1.0)
+            jnp.asarray(noise["obj_vel"], self.dtype)
         achieved = {
             t: data.qpos[jnp.asarray(OBS_ELEMENT_INDICES[t])] for t in self.tasks
         }
@@ -161,12 +175,20 @@ class KitchenEnv(core.GoalEnv):
 
     def reset(self, state, rng):
         rng, r_obs = jax.random.split(rng)
+        return self._reset_with_noise(state, rng, self._draw_noise(r_obs))
+
+    def reset_with_values(self, state, values):
+        """Parity-mode reset: the four U(-1,1) noise vectors were drawn on the
+        host in the reference's order (utils/parity.py)."""
+        return self._reset_with_noise(state, state.rng, values)
+
+    def _reset_with_noise(self, state, rng, noise):
         data = pipeline.make_data(self.model, dtype=self.dtype)
         data = dataclasses.replace(
             data, qpos=self._init_qpos, qvel=self._init_qvel
         )
         data = smooth.kinematics(self.model, data)
-        obs, last_qpos = self._get_obs(data, r_obs)
+        obs, last_qpos = self._get_obs(data, noise)
         n = len(self.tasks)
         info = {
             "tasks_to_complete": jnp.ones(n, bool),
@@ -186,6 +208,16 @@ class KitchenEnv(core.GoalEnv):
         )
 
     def step(self, state, action):
+        rng, r_obs = jax.random.split(state.rng)
+        return self._step_with_noise(state, action, self._draw_noise(r_obs), rng)
+
+    def step_with_values(self, state, action, values):
+        """Parity-mode step: reference draws obs noise EVERY step
+        (franka_env.py:118-127); the host supplies the U(-1,1) vectors."""
+        rng, _ = jax.random.split(state.rng)
+        return self._step_with_noise(state, action, values, rng)
+
+    def _step_with_noise(self, state, action, noise, rng):
         action = jnp.clip(jnp.asarray(action, self.dtype), -1.0, 1.0)
         # denormalize to velocity, clip, integrate against last NOISY qpos
         # (franka_env.py:141-171)
@@ -194,8 +226,7 @@ class KitchenEnv(core.GoalEnv):
         ctrl = state.aux["last_robot_qpos"] + vel * self.dt
         ctrl = jnp.clip(ctrl, self._pos_bound[:9, 0], self._pos_bound[:9, 1])
         data = pipeline.step_n(self.model, state.data, ctrl, self.frame_skip)
-        rng, r_obs = jax.random.split(state.rng)
-        obs, last_qpos = self._get_obs(data, r_obs)
+        obs, last_qpos = self._get_obs(data, noise)
 
         completions = self._completions(obs["achieved_goal"], self._goal)
         todo = state.aux["tasks_to_complete"]

@@ -113,9 +113,24 @@ def _convex_hull(verts: np.ndarray):
         h = hull_of(pts)
         pts = pts[h.vertices]
     eqs = np.asarray(h.equations, np.float64)  # n.x + d <= 0 inside
-    if len(eqs) > HULL_F:  # QJ joggling can exceed the Euler bound; keep the
-        # faces with the largest area-proxy (unique normals first-come)
-        eqs = eqs[:HULL_F]
+    # Merge near-parallel facets (coplanar triangles of one flat face, or QJ
+    # joggle twins) by quantized plane equation, accumulating triangle area
+    # per plane; if the merged set still exceeds the budget, keep the
+    # largest-area planes. Dropping only sliver facets keeps the face-SAT
+    # max faithful — naive eqs[:HULL_F] could drop a load-bearing face and
+    # make outside points read as penetrating (advisor finding r2).
+    tri = h.points[h.simplices]
+    areas = 0.5 * np.linalg.norm(
+        np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]), axis=1
+    )
+    keys = np.round(eqs, 6)
+    _, group, inv = np.unique(
+        keys, axis=0, return_index=True, return_inverse=True
+    )
+    garea = np.zeros(len(group))
+    np.add.at(garea, inv, areas)
+    order = np.argsort(-garea)[:HULL_F]
+    eqs = eqs[group[order]]
     hv = np.zeros((HULL_V, 3))
     hv[: len(pts)] = pts
     hv[len(pts):] = pts[0]

@@ -58,7 +58,14 @@ def restore_state(template: Any, path: str) -> Any:
     recovered from the template. Format is detected from what exists on
     disk; restore errors propagate."""
     npz_path = path if path.endswith(".npz") else path + ".npz"
-    if not os.path.exists(npz_path):
+    # Both formats can exist at the same logical path (e.g. a later save with
+    # empty leaves fell back to npz): prefer the NEWER one so a stale npz
+    # cannot silently shadow a fresh orbax checkpoint (advisor finding r2).
+    has_npz = os.path.exists(npz_path)
+    has_orbax = path != npz_path and os.path.isdir(path)
+    if has_npz and has_orbax:
+        has_npz = os.path.getmtime(npz_path) >= os.path.getmtime(path)
+    if not has_npz:
         import orbax.checkpoint as ocp
 
         ckpt = ocp.PyTreeCheckpointer()

@@ -37,27 +37,39 @@ def global_mesh(axis: str = "env"):
 
 
 def psum_metrics(tree, mesh, axis: str = "env"):
-    """Mean-reduce a metrics pytree across the mesh. Each leaf is laid out
-    (or re-laid out) with its leading batch axis sharded over ``axis``; the
-    reduction is an explicit ``lax.pmean`` inside ``shard_map`` so it
-    compiles to an XLA collective riding ICI/DCN — the global mean, not the
-    local shard mean, even multi-host. Leaves must be evenly divisible by
-    the mesh size along the batch axis (the batched-env invariant)."""
+    """Mean-reduce a metrics pytree across the mesh. Leaves with a leading
+    batch axis evenly divisible by the mesh size are sharded over ``axis``
+    and reduced with an explicit ``lax.pmean`` inside ``shard_map`` so the
+    reduction compiles to an XLA collective riding ICI/DCN — the global
+    mean, not the local shard mean, even multi-host. Scalar (0-d) and
+    non-divisible leaves are replicated (spec ``P()``) and mean-reduced
+    locally — they are identical on every device, so the replicated mean IS
+    the global mean (advisor finding r2: these previously raised at
+    ``device_put``)."""
     from jax.experimental.shard_map import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    sharding = NamedSharding(mesh, P(axis))
+    n = mesh.size
+
+    def spec_of(x):
+        x = jnp.asarray(x)
+        return P(axis) if x.ndim >= 1 and x.shape[0] % n == 0 else P()
+
+    tree = jax.tree_util.tree_map(jnp.asarray, tree)
+    specs = jax.tree_util.tree_map(spec_of, tree)
     tree = jax.tree_util.tree_map(
-        lambda x: jax.device_put(jnp.asarray(x), sharding), tree
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs
     )
 
     @jax.jit
     @functools.partial(
-        shard_map, mesh=mesh, in_specs=P(axis), out_specs=P(), check_rep=False
+        shard_map, mesh=mesh, in_specs=(specs,), out_specs=P(),
+        check_rep=False,
     )
     def _reduce(t):
-        # local mean over the shard, then pmean across devices: exact global
-        # mean under the even-shard invariant
+        # sharded leaves: local mean over the shard, then pmean across
+        # devices — exact global mean under the even-shard invariant.
+        # replicated leaves: pmean of identical values is a no-op mean.
         return jax.tree_util.tree_map(
             lambda x: jax.lax.pmean(jnp.mean(x), axis), t
         )

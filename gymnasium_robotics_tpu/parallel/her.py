@@ -38,9 +38,13 @@ def relabel(
     if strategy == "final":
         new_goal = jnp.broadcast_to(achieved[-1], achieved.shape)
     elif strategy == "future":
+        # uniform over the remaining horizon [t, T-1]: draw u ~ U[0,1) and
+        # floor-scale by (T-t). (randint(0,T) % (T-t) is modulo-biased toward
+        # small offsets — advisor finding r2.)
         t_idx = jnp.arange(T)[:, None]
-        offset = jax.random.randint(rng, (T, B), 0, T)
-        future = jnp.minimum(t_idx + offset % jnp.maximum(T - t_idx, 1), T - 1)
+        u = jax.random.uniform(rng, (T, B))
+        offset = jnp.floor(u * (T - t_idx)).astype(jnp.int32)
+        future = jnp.minimum(t_idx + offset, T - 1)
         new_goal = jnp.take_along_axis(
             achieved, future[..., None], axis=0
         )

@@ -81,7 +81,9 @@ def rollout(
     @jax.jit
     def run(rng):
         r_init, r_scan = jax.random.split(rng)
-        state = jax.vmap(env.initial)(jax.random.split(r_init, num_envs))
+        state = core.with_diverged(
+            jax.vmap(env.initial)(jax.random.split(r_init, num_envs))
+        )
         if sharding is not None:
             state = jax.lax.with_sharding_constraint(state, sharding)
         (state, _), traj = jax.lax.scan(

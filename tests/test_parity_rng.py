@@ -132,6 +132,130 @@ def test_maze_goal_cell_golden():
     np.testing.assert_almost_equal(desired, obs["desired_goal"], decimal=4)
 
 
+@pytest.mark.parametrize("seed", [0, 7])
+def test_hand_reach_seeded_parity(seed):
+    """reach.py:99-126 goal draws (finger choice, meeting-point noise,
+    10% revert) reproduced bitwise to f32."""
+    ref = _ref_env("HandReach-v3")
+    ours = registry.make_gym("HandReach-v3", parity=True)
+    ro, _ = ref.reset(seed=seed)
+    oo, _ = ours.reset(seed=seed)
+    np.testing.assert_allclose(
+        oo["desired_goal"], ro["desired_goal"], atol=1e-6
+    )
+
+
+@pytest.mark.parametrize(
+    "env_id", ["HandManipulateBlockRotateXYZ-v1", "HandManipulateBlockFull-v1"]
+)
+def test_hand_manipulate_seeded_parity(env_id):
+    """manipulate.py:154-279 draw order: initial object pose randomization,
+    then goal draws. Goal QUAT must match bitwise (pure host math); the
+    settled object pose tracks the reference through 200 zero-action
+    substeps of contact physics (tolerance = cross-engine settle drift)."""
+    ref = _ref_env(env_id)
+    ours = registry.make_gym(env_id, parity=True)
+    for seed in (0, 7):
+        ro, _ = ref.reset(seed=seed)
+        oo, _ = ours.reset(seed=seed)
+        dg_r, dg_o = np.asarray(ro["desired_goal"]), np.asarray(oo["desired_goal"])
+        ag_r, ag_o = np.asarray(ro["achieved_goal"]), np.asarray(oo["achieved_goal"])
+        # goal rotation: host-drawn, bitwise to f32
+        np.testing.assert_allclose(dg_o[3:], dg_r[3:], atol=1e-6)
+        # settled object position (and therefore goal position) to settle drift
+        assert np.max(np.abs(ag_o[:3] - ag_r[:3])) < 0.02
+        assert np.max(np.abs(dg_o[:3] - dg_r[:3])) < 0.02
+        # settled object orientation within cross-engine drift
+        cosang = min(abs(float(np.dot(ag_o[3:], ag_r[3:]))), 1.0)
+        assert 2 * np.arccos(cosang) < 0.3
+
+
+@pytest.mark.parametrize("env_id", ["AdroitHandDoor-v2", "AdroitHandPen-v2"])
+def test_adroit_seeded_parity(env_id):
+    """reset_model scene randomization draws (adroit_door.py:359-371,
+    adroit_pen.py:380-383) reproduced exactly; reset obs = deterministic FK
+    of the same randomized scene."""
+    ref = _ref_env(env_id)
+    ours = registry.make_gym(env_id, parity=True)
+    for seed in (0, 7):
+        ro, _ = ref.reset(seed=seed)
+        oo, _ = ours.reset(seed=seed)
+        np.testing.assert_allclose(np.asarray(oo), np.asarray(ro), atol=1e-4)
+    # trajectory tracks to solver tolerance for a few steps
+    rng = np.random.default_rng(123)
+    for _ in range(3):
+        a = rng.uniform(-1, 1, ref.action_space.shape).astype(np.float32)
+        ro, *_ = ref.step(a)
+        oo, *_ = ours.step(a)
+        assert np.max(np.abs(np.asarray(oo) - np.asarray(ro))) < 0.05
+
+
+def _ref_kitchen():
+    """The reference checkout lacks wood1.png (visual-only texture); build the
+    reference env from a temp copy with a stand-in (tools/compile_assets.py
+    does the same for asset compilation)."""
+    import shutil
+    import tempfile
+
+    mujoco = pytest.importorskip("mujoco")
+    sys.path.insert(0, "/root/reference")
+    gym = pytest.importorskip("gymnasium")
+    import gymnasium_robotics
+
+    gym.register_envs(gymnasium_robotics)
+    src = "/root/reference/gymnasium_robotics/envs/assets/kitchen_franka"
+    tmp = tempfile.mkdtemp()
+    dst = os.path.join(tmp, "kitchen_franka")
+    shutil.copytree(src, dst)
+    tex = os.path.join(dst, "kitchen_assets/textures")
+    wood = os.path.join(tex, "wood1.png")
+    if not os.path.exists(wood):
+        shutil.copy(os.path.join(tex, "marble1.png"), wood)
+
+    orig = mujoco.MjModel.from_xml_path
+
+    def patched(path, *a, **k):
+        if "kitchen_franka" in path:
+            path = os.path.join(dst, path.split("kitchen_franka/", 1)[1])
+        return orig(path, *a, **k)
+
+    mujoco.MjModel.from_xml_path = patched
+    try:
+        return gym.make("FrankaKitchen-v1")
+    except Exception as e:
+        pytest.skip(f"reference kitchen unavailable: {e}")
+    finally:
+        mujoco.MjModel.from_xml_path = orig
+
+
+def test_kitchen_seeded_parity():
+    """Kitchen draws obs noise EVERY _get_obs (franka_env.py:118-127 robot,
+    kitchen_env.py:376-385 objects): parity injects the host draws at reset
+    AND every step."""
+    ref = _ref_kitchen()
+    ours = registry.make_gym("FrankaKitchen-v1", parity=True)
+    for seed in (0, 7):
+        ro, _ = ref.reset(seed=seed)
+        oo, _ = ours.reset(seed=seed)
+        np.testing.assert_allclose(
+            oo["observation"], ro["observation"], atol=1e-5
+        )
+    rng = np.random.default_rng(123)
+    for _ in range(2):
+        a = rng.uniform(-1, 1, 9).astype(np.float32)
+        ro, rr, *_ = ref.step(a)
+        oo, orr, *_ = ours.step(a)
+        diff = np.abs(
+            np.asarray(oo["observation"]) - np.asarray(ro["observation"])
+        )
+        # positions (robot qpos/qvel + object qpos) track tightly; free-body
+        # object VELOCITIES (kettle rattling under contact) accumulate
+        # cross-engine drift over frame_skip=40 substeps per step
+        assert np.max(diff[:39]) < 0.02
+        assert np.max(diff[39:]) < 0.3
+        assert float(orr) == float(rr)
+
+
 def test_maze_reset_never_in_success_state():
     """Reset never lands within the success radius of the goal (reference
     tests/envs/maze/test_point_maze.py:9-17, vectorized)."""
