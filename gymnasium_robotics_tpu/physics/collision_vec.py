@@ -739,7 +739,13 @@ def _contact_frame_soa(n, t1):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_narrowphase(meta: T.Meta):
+def _make_narrowphase_core(meta: T.Meta):
+    """SoA-native narrowphase: inputs/outputs stay batch-last (no boundary
+    transposes) — P (ngeom, 3, B), Rm (ngeom, 3, 3, B), sizes3
+    (ngeom, 3, Bm) with Bm in {1, B}; returns dist (ncon, B),
+    pos (ncon, 3, B), frame (ncon, 3, 3, B). Used directly by the SoA
+    substep pipeline (physics/soa.py); _make_narrowphase wraps it for the
+    env-batch-leading layout."""
     from gymnasium_robotics_tpu.physics import collision as C
 
     groups: dict = {}
@@ -767,18 +773,15 @@ def _make_narrowphase(meta: T.Meta):
     # would be created under the first caller's trace and leak into later ones
     perm_j = perm
 
-    def batched(gxpos, gxmat, sizes, hull_vert, hull_face):
-        # gxpos (B, ngeom, 3) -> (ngeom, 3, B); gxmat -> (ngeom, 3, 3, B)
-        dtype = gxpos.dtype
-        P = jnp.moveaxis(gxpos, 0, -1)
-        Rm = jnp.moveaxis(gxmat, 0, -1)
-        B = gxpos.shape[0]
+    def core(P, Rm, sizes3, hull_vert, hull_face):
+        dtype = P.dtype
+        B = P.shape[-1]
 
         def take(idx):
             i = jnp.asarray(idx)
             p = jnp.swapaxes(P[i], 0, 1)          # (3, k, B)
             R = jnp.moveaxis(Rm[i], 0, 2)          # (3, 3, k, B)
-            s = sizes[i].T[:, :, None].astype(dtype)  # (3, k, 1)
+            s = jnp.swapaxes(sizes3[i], 0, 1).astype(dtype)  # (3, k, Bm)
             return p, R, s
 
         def take_hull(gs):
@@ -847,6 +850,20 @@ def _make_narrowphase(meta: T.Meta):
         t_soa = jnp.swapaxes(tan1, 0, 1)
         frame = _contact_frame_soa(n_soa, t_soa)       # (3comp, 3rows, ncon, B)
         frame = jnp.moveaxis(frame, (0, 1, 2), (2, 1, 0))  # (ncon, 3rows, 3comp, B)
+        return dist, pos, frame
+
+    return core
+
+
+@functools.lru_cache(maxsize=None)
+def _make_narrowphase(meta: T.Meta):
+    core = _make_narrowphase_core(meta)
+
+    def batched(gxpos, gxmat, sizes, hull_vert, hull_face):
+        # gxpos (B, ngeom, 3) -> (ngeom, 3, B); gxmat -> (ngeom, 3, 3, B)
+        P = jnp.moveaxis(gxpos, 0, -1)
+        Rm = jnp.moveaxis(gxmat, 0, -1)
+        dist, pos, frame = core(P, Rm, sizes[..., None], hull_vert, hull_face)
         return (
             jnp.moveaxis(dist, -1, 0),                  # (B, ncon)
             jnp.moveaxis(pos, -1, 0),                   # (B, ncon, 3)

@@ -275,7 +275,20 @@ def step(m: T.Model, d: T.Data) -> T.Data:
 
 
 def step_n(m: T.Model, d: T.Data, ctrl, n: int) -> T.Data:
-    """n_substeps stepping with fixed ctrl (the reference's mj_step(nstep=n))."""
+    """n_substeps stepping with fixed ctrl (the reference's mj_step(nstep=n)).
+
+    On TPU (Option.soa gate) the env batch enters the batch-last SoA pipeline
+    through one custom_vmap boundary; elsewhere this is the plain scan."""
+    from gymnasium_robotics_tpu.physics import soa
+
+    if soa.use_soa(m.meta):
+        return soa.step_n(m, d, ctrl, n)
+    return step_n_loop(m, d, ctrl, n)
+
+
+def step_n_loop(m: T.Model, d: T.Data, ctrl, n: int) -> T.Data:
+    """The reference (per-env AoS) substep loop; also the SoA entry's
+    single-env fallback — must not re-dispatch to soa.step_n."""
     d = dataclasses.replace(d, ctrl=ctrl)
 
     def body(dd, _):

@@ -10,8 +10,11 @@ dimension; a custom_vmap rule turns the env-level vmap into the block grid).
 
 Semantics are identical to constraint.solve_constraints:420-496 (same
 active-set rule, same alpha clip, same unilateral force clamp); the unit test
-checks bitwise agreement on real PointMaze systems. Specialized to nv == 2
-(point-maze ball, inverted pendulum); other models keep the generic path.
+checks bitwise agreement on real PointMaze systems. Two kernels:
+``solve_small_nv2`` is hand-specialized to nv == 2 (point-maze ball,
+inverted pendulum); ``solve_small`` handles general nv up to the VMEM gate
+in constraint.py (currently nv <= 36 and n_rows*nv <= 10k — hand and adroit
+qualify at contact_cap=16, kitchen stays on the generic path).
 """
 
 from __future__ import annotations
@@ -339,13 +342,30 @@ def _solve_batched_nv(M, asm, a0, J, aref, D, active, is_eq, nv, n_iter,
     asmT = lane(asm)
     a0T = lane(a0)
     Jl = lane(J.transpose(0, 2, 1))  # (B, nv, ne) -> (nv, ne, Bp)
+    qacc, f = _newton_lanes(
+        M3, asmT, a0T, Jl, lane(aref), lane(D),
+        lane(active.astype(dtype)), lane(is_eq.astype(dtype)),
+        nv, n_iter, n_ls, interpret,
+    )
+    return (
+        jnp.moveaxis(qacc[:, :B], -1, 0),
+        jnp.moveaxis(f[:, :B], -1, 0),
+    )
+
+
+def _newton_lanes(M3, asmT, a0T, Jl, arefl, Dl, actl, iseql,
+                  nv, n_iter, n_ls, interpret):
+    """Lane-layout fused Newton: M3 (nM, Bp), asmT/a0T (nv, Bp),
+    Jl (nv, ne, Bp), rest (ne, Bp); Bp % 128 == 0."""
+    nM, Bp = M3.shape
+    ne = arefl.shape[0]
+    dtype = Jl.dtype
     grid = Bp // _LANES
-    nM = nv * (nv + 1) // 2
 
     def spec2(rows):
         return pl.BlockSpec((rows, _LANES), lambda i: (0, i))
 
-    qacc, f = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_kernel_nv, nv, n_iter, n_ls),
         grid=(grid,),
         in_specs=[
@@ -359,12 +379,7 @@ def _solve_batched_nv(M, asm, a0, J, aref, D, active, is_eq, nv, n_iter,
             jax.ShapeDtypeStruct((ne, Bp), dtype),
         ),
         interpret=interpret,
-    )(M3, asmT, a0T, Jl, lane(aref), lane(D),
-      lane(active.astype(dtype)), lane(is_eq.astype(dtype)))
-    return (
-        jnp.moveaxis(qacc[:, :B], -1, 0),
-        jnp.moveaxis(f[:, :B], -1, 0),
-    )
+    )(M3, asmT, a0T, Jl, arefl, Dl, actl, iseql)
 
 
 @functools.lru_cache(maxsize=None)
@@ -450,13 +465,20 @@ def _chol_batched(M, b, nv, interpret):
                     Ml = Ml.at[idx, B:].set(1.0)
                 idx += 1
     bl = lane(b)
-    nM = nv * (nv + 1) // 2
+    x = _chol_lanes(Ml, bl, nv, interpret)
+    return jnp.moveaxis(x[:, :B], -1, 0)
+
+
+def _chol_lanes(Ml, bl, nv, interpret):
+    """Lane-layout SPD solve: Ml (nM, Bp) packed lower-tri, bl (nv, Bp)."""
+    nM, Bp = Ml.shape
+    dtype = bl.dtype
     grid = Bp // _LANES
 
     def spec2(rows):
         return pl.BlockSpec((rows, _LANES), lambda i: (0, i))
 
-    x = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_kernel_chol, nv),
         grid=(grid,),
         in_specs=[spec2(nM), spec2(nv)],
@@ -464,7 +486,6 @@ def _chol_batched(M, b, nv, interpret):
         out_shape=jax.ShapeDtypeStruct((nv, Bp), dtype),
         interpret=interpret,
     )(Ml, bl)
-    return jnp.moveaxis(x[:, :B], -1, 0)
 
 
 @functools.lru_cache(maxsize=None)
@@ -491,3 +512,67 @@ def solve_pos_lanes(M, b, interpret: bool = False):
     nv = b.shape[-1]
     solve = _make_chol(nv, interpret)
     return solve(M, b)
+
+
+# ---------------------------------------------------------------------------
+# SoA (batch-last) direct entries: the SoA substep pipeline (physics/soa.py)
+# keeps every array batch-last, so the lane layout the kernels want is just a
+# pad on the trailing axis — no moveaxis boundary per call.
+# ---------------------------------------------------------------------------
+
+def _pad_b(x, Bp):
+    B = x.shape[-1]
+    if Bp == B:
+        return x
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, Bp - B)])
+
+
+def _pack_tril_soa(M, nv):
+    """M (nv, nv, B) -> (nv*(nv+1)//2, B) packed lower-tri, one gather."""
+    idx = [i * nv + j for i in range(nv) for j in range(i + 1)]
+    import numpy as _np
+
+    return M.reshape(nv * nv, M.shape[-1])[jnp.asarray(_np.array(idx))]
+
+
+def _diag_rows(nv):
+    """Packed-lower-tri row indices of the diagonal entries."""
+    rows, idx = [], 0
+    for i in range(nv):
+        for j in range(i + 1):
+            if i == j:
+                rows.append(idx)
+            idx += 1
+    return rows
+
+
+def solve_pos_soa(M, b, interpret: bool = False):
+    """Batch-last SPD solve: M (nv, nv, B), b (nv, B) -> (nv, B)."""
+    nv, B = b.shape
+    Bp = -(-B // _LANES) * _LANES
+    Ml = _pad_b(_pack_tril_soa(M, nv).astype(b.dtype), Bp)
+    if Bp != B:  # identity on padded lanes keeps the Cholesky well-posed
+        Ml = Ml.at[jnp.asarray(_diag_rows(nv))[:, None], B:].set(1.0)
+    x = _chol_lanes(Ml, _pad_b(b, Bp), nv, interpret)
+    return x[:, :B]
+
+
+def solve_small_soa(M, a_smooth, a_warm, J, aref, D, active, is_eq,
+                    n_iter: int, n_ls: int, interpret: bool = False):
+    """Batch-last fused Newton: M (nv, nv, B), a_smooth/a_warm (nv, B),
+    J (ne, nv, B), aref/D/active/is_eq (ne, B) -> (qacc (nv, B), f (ne, B)).
+    Same program as solve_small (kernel _kernel_nv), minus the B-leading
+    boundary transposes."""
+    nv, B = a_smooth.shape
+    dtype = J.dtype
+    Bp = -(-B // _LANES) * _LANES
+    Ml = _pad_b(_pack_tril_soa(M, nv).astype(dtype), Bp)
+    if Bp != B:
+        Ml = Ml.at[jnp.asarray(_diag_rows(nv))[:, None], B:].set(1.0)
+    qacc, f = _newton_lanes(
+        Ml, _pad_b(a_smooth, Bp), _pad_b(a_warm, Bp),
+        _pad_b(jnp.swapaxes(J, 0, 1), Bp), _pad_b(aref, Bp), _pad_b(D, Bp),
+        _pad_b(active.astype(dtype), Bp), _pad_b(is_eq.astype(dtype), Bp),
+        nv, n_iter, n_ls, interpret,
+    )
+    return qacc[:, :B], f[:, :B]

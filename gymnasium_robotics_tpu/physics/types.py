@@ -65,6 +65,10 @@ class Option:
     # fused pallas Newton solver for small systems (nv==2); "auto" enables it
     # on TPU backends only, True forces (interpret-mode on CPU), False = off
     fused_solver: str = "auto"
+    # batch-last (SoA) substep pipeline (physics/soa.py): the whole substep
+    # runs with the env batch on the TPU lane axis. "auto" = on TPU only,
+    # True/"force" = always (CPU testing), False = off
+    soa: Any = "auto"
     # disable flags
     disable_contact: bool = False
     disable_gravity: bool = False

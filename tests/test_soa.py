@@ -1,0 +1,89 @@
+"""SoA (batch-last) substep pipeline vs the reference AoS pipeline.
+
+The SoA path (physics/soa.py) is the TPU production path (Option.soa='auto'
+enables it on TPU); these tests force it on CPU and pin its semantics to the
+AoS pipeline that is itself calibrated against the C engine
+(tests/test_physics_parity.py). Reference behavior reached through mj_step:
+gymnasium_robotics/envs/robot_env.py:340-341.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gymnasium_robotics_tpu.mjcf import serialize
+from gymnasium_robotics_tpu.physics import pipeline, soa
+
+CHECK = [
+    "qpos", "qvel", "xpos", "xquat", "qacc", "qfrc_constraint",
+    "sensordata", "cfrc_ext", "site_xpos", "ten_length",
+]
+
+
+def _batch(m, B, seed=0):
+    d0 = pipeline.make_data(m)
+    rng = np.random.RandomState(seed)
+    qpos = np.tile(np.asarray(d0.qpos), (B, 1))
+    qpos += rng.uniform(-1e-3, 1e-3, qpos.shape)
+    return jax.vmap(
+        lambda q: dataclasses.replace(d0, qpos=q.astype(jnp.float32))
+    )(jnp.asarray(qpos))
+
+
+def _compare(m, B=4, n=5, tol=2e-4, ctrl_scale=0.0, seed=0):
+    db = _batch(m, B, seed)
+    rng = np.random.RandomState(seed + 1)
+    ctrl = jnp.asarray(
+        rng.uniform(-1, 1, (B, m.meta.nu)) * ctrl_scale, jnp.float32
+    )
+    m_ref = m.with_options(soa=False)
+    m_soa = m.with_options(soa="force")
+    out_ref = jax.jit(
+        jax.vmap(lambda dd, cc: pipeline.step_n(m_ref, dd, cc, n))
+    )(db, ctrl)
+    out_soa = jax.jit(
+        jax.vmap(lambda dd, cc: pipeline.step_n(m_soa, dd, cc, n))
+    )(db, ctrl)
+    for fld in CHECK:
+        a = np.asarray(getattr(out_ref, fld))
+        b = np.asarray(getattr(out_soa, fld))
+        if a.size == 0:
+            continue
+        scale = max(1.0, float(np.abs(a).max()))
+        err = float(np.abs(a - b).max()) / scale
+        assert err < tol, f"{fld}: relerr {err:.3e}"
+
+
+def test_soa_matches_pipeline_pointmaze():
+    import os
+
+    root = serialize.ASSETS_DIR + "/point_maze"
+    name = sorted(os.listdir(root))[0][:-4]
+    m, _ = serialize.load_asset("point_maze/" + name)
+    _compare(m, n=10, ctrl_scale=0.5)
+
+
+def test_soa_matches_pipeline_fetch_push():
+    m, _ = serialize.load_asset("fetch/push")
+    _compare(m, n=5)
+
+
+def test_soa_matches_pipeline_hand_block_capped():
+    # contact_cap exercises the traced per-env top-k slot selection
+    m, _ = serialize.load_asset("hand/manipulate_block")
+    _compare(m.with_options(contact_cap=16), B=3, n=3, tol=5e-4)
+
+
+def test_soa_single_env_falls_back():
+    m, _ = serialize.load_asset("fetch/reach")
+    d0 = pipeline.make_data(m)
+    ctrl = jnp.zeros((m.meta.nu,), jnp.float32)
+    a = jax.jit(
+        lambda dd, cc: pipeline.step_n(m.with_options(soa="force"), dd, cc, 3)
+    )(d0, ctrl)
+    b = jax.jit(lambda dd, cc: pipeline.step_n_loop(m, dd, cc, 3))(d0, ctrl)
+    np.testing.assert_allclose(
+        np.asarray(a.qpos), np.asarray(b.qpos), rtol=0, atol=1e-6
+    )
