@@ -15,6 +15,7 @@ mirroring mj_contactParam) is precomputed per pair at import time.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -60,11 +61,118 @@ def pair_slots(t1: int, t2: int) -> int:
     return _SLOTS.get((min(t1, t2), max(t1, t2)), 1)
 
 
-def ncon(m: T.Model) -> int:
-    mt = m.meta
+def ncon_static(meta: T.Meta) -> int:
+    """Slot count of the FULL static candidate table (per-slot model params
+    con_solref/solimp/friction/includemargin are always this size)."""
     return sum(
-        pair_slots(mt.geom_type[g1], mt.geom_type[g2]) for g1, g2 in mt.pairs
+        pair_slots(meta.geom_type[g1], meta.geom_type[g2])
+        for g1, g2 in meta.pairs
     )
+
+
+def ncon(m: T.Model) -> int:
+    """Slot count of the contact table Data carries: compact under pair-level
+    top-K pruning (Option.pair_topk), else the full static table."""
+    p = prune_plan(m.meta)
+    return p.ncon_c if p.active else ncon_static(m.meta)
+
+
+@dataclasses.dataclass(frozen=True)
+class _PruneGroup:
+    tp: tuple            # (t1, t2)
+    cd: int              # condim shared by every pair in the group
+    idx: tuple           # positions into meta.pairs
+    S: int               # slots per pair
+    K: int               # pairs evaluated (== len(idx) when not pruned)
+    pruned: bool
+    base_c: int          # compact slot offset of this group
+
+    @property
+    def n_slots_c(self):
+        return self.K * self.S
+
+
+@dataclasses.dataclass(frozen=True)
+class _PrunePlan:
+    active: bool
+    groups: tuple        # of _PruneGroup (empty when inactive)
+    ncon_c: int
+
+
+@functools.lru_cache(maxsize=None)
+def prune_plan(meta: T.Meta) -> _PrunePlan:
+    """Static layout of the pair-level top-K broadphase (Option.pair_topk).
+
+    Pairs are grouped by (geom-type pair, condim); groups larger than K
+    evaluate narrowphase on only the K nearest pairs per env (ranked by
+    world-AABB gap minus margin — the TPU-shape-static analogue of MuJoCo's
+    sweep-and-prune broadphase inside mj_collision, reference
+    gymnasium_robotics/envs/robot_env.py:340-341). Plane-anchored groups are
+    never pruned (small; plane gap needs halfspace treatment). The compact
+    slot layout is group-major, pair-major, slot-minor; Contact.src maps each
+    compact slot to its canonical static slot id.
+    """
+    K = getattr(meta.opt, "pair_topk", 0)
+    topk_groups = {}
+    order = []
+    slot_base = []
+    cursor = 0
+    for j, (g1, g2) in enumerate(meta.pairs):
+        t1, t2 = meta.geom_type[g1], meta.geom_type[g2]
+        S = pair_slots(t1, t2)
+        slot_base.append(cursor)
+        cursor += S
+        # condim per pair == condim of its slots (uniform within a pair)
+        cd = _pair_condim(meta, j)
+        key = (t1, t2, cd)
+        if key not in topk_groups:
+            topk_groups[key] = []
+            order.append(key)
+        topk_groups[key].append(j)
+    any_pruned = False
+    groups = []
+    base_c = 0
+    for key in order:
+        t1, t2, cd = key
+        idx = topk_groups[key]
+        S = pair_slots(t1, t2)
+        pruned = bool(K) and len(idx) > K and t1 != T.PLANE and t2 != T.PLANE
+        Kg = K if pruned else len(idx)
+        groups.append(_PruneGroup(
+            tp=(t1, t2), cd=cd, idx=tuple(idx), S=S, K=Kg, pruned=pruned,
+            base_c=base_c,
+        ))
+        base_c += Kg * S
+        any_pruned |= pruned
+    if not any_pruned:
+        return _PrunePlan(active=False, groups=(), ncon_c=0)
+    return _PrunePlan(active=True, groups=tuple(groups), ncon_c=base_c)
+
+
+@functools.lru_cache(maxsize=None)
+def _pair_slot_base(meta: T.Meta):
+    """Canonical static slot offset per pair (meta.pairs order), numpy."""
+    base = np.zeros(len(meta.pairs), np.int64)
+    cursor = 0
+    for j, (g1, g2) in enumerate(meta.pairs):
+        base[j] = cursor
+        cursor += pair_slots(meta.geom_type[g1], meta.geom_type[g2])
+    return base
+
+
+def _pair_condim(meta: T.Meta, j: int) -> int:
+    """Condim of pair j, read from the canonical per-slot table."""
+    return meta.con_condim[int(_pair_slot_base(meta)[j])]
+
+
+@functools.lru_cache(maxsize=None)
+def compact_condim(meta: T.Meta):
+    """Condim per COMPACT slot (pair_topk layout), numpy (ncon_c,)."""
+    p = prune_plan(meta)
+    out = []
+    for g in p.groups:
+        out += [g.cd] * g.n_slots_c
+    return np.array(out, np.int64)
 
 
 _BIG = 1e10

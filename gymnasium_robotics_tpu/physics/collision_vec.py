@@ -738,15 +738,71 @@ def _contact_frame_soa(n, t1):
 # ---------------------------------------------------------------------------
 
 
+def _mesh_group_fn(t1, hull1, hull2):
+    """Narrowphase fn for a (t1, MESH) group given hull operand arrays
+    (traced or static; trailing dims broadcast against the pair data)."""
+    if t1 == T.PLANE:
+        return _make_plane_hull(hull2[1])
+    if t1 == T.SPHERE:
+        return _make_sphere_hull(hull2[0])
+    if t1 in (T.CAPSULE, T.CYLINDER):
+        return _make_capsule_hull(hull2[0])
+    if t1 == T.ELLIPSOID:
+        return _make_ellipsoid_hull(hull2[0])
+    if t1 == T.BOX:
+        return _make_box_hull(hull2)
+    if t1 == T.MESH:
+        return _make_hull_hull(hull1, hull2)
+    return None
+
+
+def _local_aabbs(meta, sizes3, hull_vert, dtype):
+    """Per-geom local AABB (center (ngeom, 3, Bm), half (ngeom, 3, Bm)) for
+    the pair-topk bound. Plane rows are zeros (plane groups never prune)."""
+    ctrs, halfs = [], []
+    Bm = sizes3.shape[-1]
+    zero = jnp.zeros((3, Bm), dtype)
+    for g in range(meta.ngeom):
+        t = meta.geom_type[g]
+        s = sizes3[g].astype(dtype)  # (3, Bm)
+        ctr = zero
+        if t == T.MESH:
+            hv = hull_vert[meta.geom_hullid[g]].astype(dtype)  # (V, 3)
+            lo, hi = jnp.min(hv, axis=0), jnp.max(hv, axis=0)
+            ctr = jnp.broadcast_to(((lo + hi) * 0.5)[:, None], (3, Bm))
+            half = jnp.broadcast_to(((hi - lo) * 0.5)[:, None], (3, Bm))
+        elif t == T.SPHERE:
+            half = jnp.stack([s[0], s[0], s[0]])
+        elif t == T.CAPSULE:
+            half = jnp.stack([s[0], s[0], s[0] + s[1]])
+        elif t == T.CYLINDER:
+            half = jnp.stack([s[0], s[0], s[1]])
+        else:  # box / ellipsoid / plane
+            half = s if t in (T.BOX, T.ELLIPSOID) else zero
+        ctrs.append(ctr)
+        halfs.append(half)
+    return jnp.stack(ctrs), jnp.stack(halfs)
+
+
 @functools.lru_cache(maxsize=None)
 def _make_narrowphase_core(meta: T.Meta):
     """SoA-native narrowphase: inputs/outputs stay batch-last (no boundary
     transposes) — P (ngeom, 3, B), Rm (ngeom, 3, 3, B), sizes3
-    (ngeom, 3, Bm) with Bm in {1, B}; returns dist (ncon, B),
-    pos (ncon, 3, B), frame (ncon, 3, 3, B). Used directly by the SoA
+    (ngeom, 3, Bm) with Bm in {1, B}; returns (dist (ncon, B),
+    pos (ncon, 3, B), frame (ncon, 3, 3, B), src). Used directly by the SoA
     substep pipeline (physics/soa.py); _make_narrowphase wraps it for the
-    env-batch-leading layout."""
+    env-batch-leading layout.
+
+    With Option.pair_topk active the table is COMPACT: each oversize
+    (type-pair, condim) group evaluates only the K nearest pairs per env
+    (world-AABB gap bound — the shape-static analogue of MuJoCo's broadphase)
+    and src (ncon_c, B) maps compact slots to canonical static slot ids;
+    otherwise src is None and the layout is the full canonical table."""
     from gymnasium_robotics_tpu.physics import collision as C
+
+    plan = C.prune_plan(meta)
+    if plan.active:
+        return _make_narrowphase_core_pruned(meta, plan)
 
     groups: dict = {}
     for order, (g1, g2) in enumerate(meta.pairs):
@@ -773,7 +829,7 @@ def _make_narrowphase_core(meta: T.Meta):
     # would be created under the first caller's trace and leak into later ones
     perm_j = perm
 
-    def core(P, Rm, sizes3, hull_vert, hull_face):
+    def core(P, Rm, sizes3, hull_vert, hull_face, geom_margin=None):
         dtype = P.dtype
         B = P.shape[-1]
 
@@ -850,35 +906,199 @@ def _make_narrowphase_core(meta: T.Meta):
         t_soa = jnp.swapaxes(tan1, 0, 1)
         frame = _contact_frame_soa(n_soa, t_soa)       # (3comp, 3rows, ncon, B)
         frame = jnp.moveaxis(frame, (0, 1, 2), (2, 1, 0))  # (ncon, 3rows, 3comp, B)
-        return dist, pos, frame
+        return dist, pos, frame, None
 
     return core
 
 
+def _make_narrowphase_core_pruned(meta: T.Meta, plan):
+    """Pair-topk variant of the batch-last narrowphase core (see
+    _make_narrowphase_core). Emits the compact group-major table + src."""
+    from gymnasium_robotics_tpu.physics import collision as C
+
+    slot_base = C._pair_slot_base(meta)  # (npairs,) canonical slot offsets
+
+    def core(P, Rm, sizes3, hull_vert, hull_face, geom_margin=None):
+        dtype = P.dtype
+        B = P.shape[-1]
+
+        # world AABBs of every geom, computed once: cw/hw (ngeom, 3, B)
+        ctr_l, half_l = _local_aabbs(meta, sizes3, hull_vert, dtype)
+        cw = P + jnp.einsum("gijb,gjb->gib", Rm, _bb(ctr_l, B))
+        hw = jnp.einsum("gijb,gjb->gib", jnp.abs(Rm), _bb(half_l, B))
+        if geom_margin is None:
+            gmarg = jnp.zeros((meta.ngeom, 1), dtype)
+        else:
+            gmarg = geom_margin.astype(dtype)
+            if gmarg.ndim == 1:
+                gmarg = gmarg[:, None]
+
+        def take_static(gs_np):
+            i = jnp.asarray(gs_np)
+            p = jnp.swapaxes(P[i], 0, 1)                     # (3, k, B)
+            R = jnp.moveaxis(Rm[i], 0, 2)                    # (3, 3, k, B)
+            s = jnp.swapaxes(sizes3[i], 0, 1).astype(dtype)  # (3, k, Bm)
+            return p, R, s
+
+        def take_hull_static(gs_np):
+            hidx = np.array([meta.geom_hullid[g] for g in gs_np])
+            hv = hull_vert[hidx].astype(dtype)
+            hf = hull_face[hidx].astype(dtype)
+            hvT = jnp.transpose(hv, (1, 2, 0))[..., None]          # (V,3,k,1)
+            fn = jnp.transpose(hf[..., :3], (1, 2, 0))[..., None]  # (F,3,k,1)
+            fd = hf[..., 3].T[..., None]                           # (F, k, 1)
+            return ((fn, fd), hvT)
+
+        def take_sel(gs_np, sel):
+            gid = jnp.take(jnp.asarray(np.asarray(gs_np)), sel)    # (K, B)
+            p = jnp.swapaxes(
+                jnp.take_along_axis(P, gid[:, None, :], axis=0), 0, 1
+            )                                                      # (3, K, B)
+            R = jnp.moveaxis(
+                jnp.take_along_axis(Rm, gid[:, None, None, :], axis=0), 0, 2
+            )                                                      # (3,3,K,B)
+            if sizes3.shape[-1] == 1:
+                s = jnp.moveaxis(
+                    jnp.take(sizes3[..., 0], gid, axis=0), -1, 0
+                ).astype(dtype)                                    # (3, K, B)
+            else:
+                s = jnp.swapaxes(
+                    jnp.take_along_axis(sizes3, gid[:, None, :], axis=0), 0, 1
+                ).astype(dtype)
+            return p, R, s
+
+        def take_hull_sel(gs_np, sel):
+            hid_np = np.array([meta.geom_hullid[g] for g in gs_np])
+            hid = jnp.take(jnp.asarray(hid_np), sel)               # (K, B)
+            hv = jnp.take(hull_vert, hid, axis=0).astype(dtype)    # (K,B,V,3)
+            hvT = jnp.transpose(hv, (2, 3, 0, 1))                  # (V,3,K,B)
+            hf = jnp.take(hull_face, hid, axis=0).astype(dtype)    # (K,B,F,4)
+            fn = jnp.transpose(hf[..., :3], (2, 3, 0, 1))          # (F,3,K,B)
+            fd = jnp.transpose(hf[..., 3], (2, 0, 1))              # (F, K, B)
+            return ((fn, fd), hvT)
+
+        all_d, all_p, all_n, all_t, all_src = [], [], [], [], []
+        for g in plan.groups:
+            t1, t2 = g.tp
+            S, k = g.S, len(g.idx)
+            g1s = np.array([meta.pairs[j][0] for j in g.idx])
+            g2s = np.array([meta.pairs[j][1] for j in g.idx])
+            slot_ids = (
+                slot_base[np.asarray(g.idx)][:, None]
+                + np.arange(S)[None]
+            )                                                      # (k, S)
+            if g.pruned:
+                # AABB gap bound, ranked with margin: pairs that can never
+                # reach dist < margin are exact to drop.
+                i1, i2 = jnp.asarray(g1s), jnp.asarray(g2s)
+                gap = jnp.max(
+                    jnp.abs(cw[i1] - cw[i2]) - hw[i1] - hw[i2], axis=1
+                )                                                  # (k, B)
+                rank = gap - _bb(gmarg[i1] + gmarg[i2], B)
+                _, order = jax.lax.top_k(-jnp.swapaxes(rank, 0, 1), g.K)
+                sel = jnp.swapaxes(order, 0, 1).astype(jnp.int32)  # (K, B)
+                p1, R1, s1 = take_sel(g1s, sel)
+                p2, R2, s2 = take_sel(g2s, sel)
+                hull1 = take_hull_sel(g1s, sel) if t1 == T.MESH else None
+                hull2 = take_hull_sel(g2s, sel) if t2 == T.MESH else None
+                src = jnp.swapaxes(
+                    jnp.take(jnp.asarray(slot_ids), sel, axis=0), 1, 2
+                ).reshape(g.K * S, B).astype(jnp.int32)
+            else:
+                p1, R1, s1 = take_static(g1s)
+                p2, R2, s2 = take_static(g2s)
+                hull1 = take_hull_static(g1s) if t1 == T.MESH else None
+                hull2 = take_hull_static(g2s) if t2 == T.MESH else None
+                src = jnp.broadcast_to(
+                    jnp.asarray(slot_ids.reshape(-1), jnp.int32)[:, None],
+                    (k * S, B),
+                )
+            if t2 == T.MESH:
+                fn = _mesh_group_fn(t1, hull1, hull2)
+            else:
+                fn = _dispatch(t1, t2)
+            Kg = g.K
+            if fn is None:
+                all_d.append(jnp.full((Kg * S, B), _BIG, dtype))
+                zero = jnp.zeros((Kg * S, 3, B), dtype)
+                all_p.append(zero)
+                all_n.append(zero.at[:, 2].set(1.0))
+                all_t.append(jnp.full((Kg * S, 3, B), jnp.nan, dtype))
+                all_src.append(src)
+                continue
+            res = fn(p1, R1, s1, p2, R2, s2)
+            if len(res) == 4:
+                dd, pp, nn, tt = res
+            else:
+                dd, pp, nn = res
+                tt = jnp.full(nn.shape, jnp.nan, dtype)
+            all_d.append(jnp.swapaxes(dd, 0, 1).reshape(Kg * S, B))
+            for arr, dst in ((pp, all_p), (nn, all_n), (tt, all_t)):
+                dst.append(jnp.moveaxis(arr, 2, 0).reshape(Kg * S, 3, B))
+            all_src.append(src)
+
+        dist = jnp.concatenate(all_d)                      # (ncon_c, B)
+        pos = jnp.concatenate(all_p)
+        normal = jnp.concatenate(all_n)
+        tan1 = jnp.concatenate(all_t)
+        src = jnp.concatenate(all_src)
+        n_soa = jnp.swapaxes(normal, 0, 1)
+        t_soa = jnp.swapaxes(tan1, 0, 1)
+        frame = _contact_frame_soa(n_soa, t_soa)
+        frame = jnp.moveaxis(frame, (0, 1, 2), (2, 1, 0))
+        return dist, pos, frame, src
+
+    return core
+
+
+def _bb(x, B):
+    return jnp.broadcast_to(x, x.shape[:-1] + (B,))
+
+
+def slot_geoms_static(meta: T.Meta):
+    """(geom1, geom2) per canonical STATIC slot, numpy (ncon_static, 2)."""
+    from gymnasium_robotics_tpu.physics import collision as C
+
+    g1s, g2s = [], []
+    for g1, g2 in meta.pairs:
+        k = C.pair_slots(meta.geom_type[g1], meta.geom_type[g2])
+        g1s += [g1] * k
+        g2s += [g2] * k
+    return np.array(g1s, np.int32), np.array(g2s, np.int32)
+
+
 @functools.lru_cache(maxsize=None)
 def _make_narrowphase(meta: T.Meta):
-    core = _make_narrowphase_core(meta)
+    from gymnasium_robotics_tpu.physics import collision as C
 
-    def batched(gxpos, gxmat, sizes, hull_vert, hull_face):
+    core = _make_narrowphase_core(meta)
+    pruned = C.prune_plan(meta).active
+
+    def batched(gxpos, gxmat, sizes, hull_vert, hull_face, gmargin):
         # gxpos (B, ngeom, 3) -> (ngeom, 3, B); gxmat -> (ngeom, 3, 3, B)
         P = jnp.moveaxis(gxpos, 0, -1)
         Rm = jnp.moveaxis(gxmat, 0, -1)
-        dist, pos, frame = core(P, Rm, sizes[..., None], hull_vert, hull_face)
+        dist, pos, frame, src = core(
+            P, Rm, sizes[..., None], hull_vert, hull_face,
+            geom_margin=gmargin,
+        )
         return (
             jnp.moveaxis(dist, -1, 0),                  # (B, ncon)
             jnp.moveaxis(pos, -1, 0),                   # (B, ncon, 3)
             jnp.moveaxis(frame, -1, 0),                 # (B, ncon, 3, 3)
+            (jnp.moveaxis(src, -1, 0) if pruned
+             else jnp.zeros((gxpos.shape[0], 0), jnp.int32)),  # (B, ncon_c)
         )
 
     @jax.custom_batching.custom_vmap
-    def narrow(gxpos, gxmat, sizes, hull_vert, hull_face):
-        d, p, f = batched(gxpos[None], gxmat[None], sizes,
-                          hull_vert, hull_face)
-        return d[0], p[0], f[0]
+    def narrow(gxpos, gxmat, sizes, hull_vert, hull_face, gmargin):
+        d, p, f, s = batched(gxpos[None], gxmat[None], sizes,
+                             hull_vert, hull_face, gmargin)
+        return d[0], p[0], f[0], s[0]
 
     @narrow.def_vmap
     def _rule(axis_size, in_batched, gxpos, gxmat, sizes,
-              hull_vert, hull_face):
+              hull_vert, hull_face, gmargin):
         ngeom = meta.ngeom
         if not in_batched[0]:
             gxpos = jnp.broadcast_to(gxpos, (axis_size, ngeom, 3))
@@ -890,8 +1110,10 @@ def _make_narrowphase(meta: T.Meta):
             hull_vert = hull_vert[0]
         if in_batched[4]:
             hull_face = hull_face[0]
-        out = batched(gxpos, gxmat, sizes, hull_vert, hull_face)
-        return out, (True, True, True)
+        if in_batched[5]:
+            gmargin = gmargin[0]
+        out = batched(gxpos, gxmat, sizes, hull_vert, hull_face, gmargin)
+        return out, (True, True, True, True)
 
     return narrow
 
@@ -904,6 +1126,7 @@ def collision(m: T.Model, d: T.Data) -> T.Data:
     from gymnasium_robotics_tpu.physics import collision as C
 
     n_total = C.ncon(m)
+    pruned = C.prune_plan(mt).active
     if not mt.pairs or mt.opt.disable_contact:
         contact = T.Contact(
             dist=jnp.full((n_total,), _BIG, dtype),
@@ -911,6 +1134,7 @@ def collision(m: T.Model, d: T.Data) -> T.Data:
             frame=jnp.tile(jnp.eye(3, dtype=dtype), (n_total, 1, 1)),
             geom1=jnp.zeros(n_total, jnp.int32),
             geom2=jnp.zeros(n_total, jnp.int32),
+            src=jnp.zeros(n_total, jnp.int32) if pruned else None,
         )
         return dataclasses.replace(d, contact=contact)
 
@@ -920,18 +1144,24 @@ def collision(m: T.Model, d: T.Data) -> T.Data:
     if hv is None:  # no mesh geoms in this model
         hv = jnp.zeros((1, 1, 3), dtype)
         hf = jnp.zeros((1, 1, 4), dtype)
-    dist, pos, frame = narrow(d.geom_xpos, d.geom_xmat, m.geom_size, hv, hf)
+    dist, pos, frame, src = narrow(
+        d.geom_xpos, d.geom_xmat, m.geom_size, hv, hf, m.geom_margin
+    )
 
-    g1s, g2s = [], []
-    for g1, g2 in mt.pairs:
-        k = C.pair_slots(mt.geom_type[g1], mt.geom_type[g2])
-        g1s += [g1] * k
-        g2s += [g2] * k
+    g1s_np, g2s_np = slot_geoms_static(mt)
+    if pruned:
+        geom1 = jnp.take(jnp.asarray(g1s_np), src)
+        geom2 = jnp.take(jnp.asarray(g2s_np), src)
+    else:
+        geom1 = jnp.asarray(g1s_np)
+        geom2 = jnp.asarray(g2s_np)
+        src = None
     contact = T.Contact(
         dist=dist.astype(dtype),
         pos=pos.astype(dtype),
         frame=frame.astype(dtype),
-        geom1=jnp.asarray(g1s, jnp.int32),
-        geom2=jnp.asarray(g2s, jnp.int32),
+        geom1=geom1,
+        geom2=geom2,
+        src=src,
     )
     return dataclasses.replace(d, contact=contact)

@@ -310,19 +310,27 @@ def build_rows(m: T.Model, d: T.Data):
     # simultaneously active contacts is small, so capping keeps nefc — and
     # the Newton system — compact without changing physics.
     c = d.contact
-    ncon = len(mt.con_condim)
+    pruned = c.src is not None
+    cond_arr = (
+        col.compact_condim(mt) if pruned else np.array(mt.con_condim)
+    )
+    ncon = len(cond_arr)
     if ncon:
         gb = mt.geom_bodyid
         slot_geoms = _slot_geoms(mt)
         b1s_np = np.array([gb[g1] for g1, _ in slot_geoms])
         b2s_np = np.array([gb[g2] for _, g2 in slot_geoms])
         roots_np = np.array(mt.body_rootid)
-        pen_all = c.dist - m.con_includemargin
+        if pruned:
+            # pair-topk compact table: per-slot params live in the FULL
+            # static tables, gathered through the traced src slot ids
+            pen_all = c.dist - m.con_includemargin[c.src]
+        else:
+            pen_all = c.dist - m.con_includemargin
         cap = getattr(mt.opt, "contact_cap", 0)
 
-        cond_arr = np.array(mt.con_condim)
         blocks = {"J": [], "pos": [], "sr": [], "si": [], "iw": [], "act": []}
-        con_layout = []  # (condim, selected slot index array [traced or static])
+        con_layout = []  # (condim, compact slot positions, static slot ids)
 
         def add_block(Jb, pb, srb, sib, iwb, actb):
             blocks["J"].append(Jb)
@@ -332,20 +340,21 @@ def build_rows(m: T.Model, d: T.Data):
             blocks["iw"].append(iwb)
             blocks["act"].append(actb)
 
-        for cd in sorted(set(mt.con_condim)):
+        for cd in sorted(set(cond_arr.tolist())):
             idx = np.nonzero(cond_arr == cd)[0]
             if cap and len(idx) > cap:
                 # deepest-first selection within the group
                 _, order = jax.lax.top_k(-pen_all[jnp.asarray(idx)], cap)
-                sel = jnp.asarray(idx)[order]
+                sel_c = jnp.asarray(idx)[order]
             else:
-                sel = jnp.asarray(idx)
-            con_layout.append((cd, sel))
-            k = int(sel.shape[0])
+                sel_c = jnp.asarray(idx)
+            sel = c.src[sel_c] if pruned else sel_c  # static slot ids
+            con_layout.append((cd, sel_c, sel))
+            k = int(sel_c.shape[0])
 
-            pos_s = c.pos[sel]
-            frame_s = c.frame[sel]
-            pen = pen_all[sel]
+            pos_s = c.pos[sel_c]
+            frame_s = c.frame[sel_c]
+            pen = pen_all[sel_c]
             b1 = jnp.asarray(b1s_np)[sel]
             b2 = jnp.asarray(b2s_np)[sel]
             roots = jnp.asarray(roots_np)
@@ -483,9 +492,10 @@ def solve_constraints(m: T.Model, d: T.Data) -> T.Data:
     fused = mt.opt.fused_solver
     # gate raised 24 -> 36 in round 2: warmstart halved the iteration count,
     # keeping the unrolled kernel compilable at hand's nv=36. The J block
-    # (nv x ne x 128 lanes, double-buffered) must fit VMEM: nv*ne <= 16k
-    # admits hand (432x36) and adroit (438x30) but keeps kitchen (668x29)
-    # on the generic path.
+    # (nv x ne x 128 lanes, double-buffered) must fit VMEM: n_rows*nv <= 10k
+    # admits post-cap hand (160 con rows + limits/tendons, nv=36 -> ~9.2k)
+    # and adroit door (~8.2k at nv=30) but keeps kitchen (668x29 = 19.4k at
+    # contact_cap=32) on the generic path.
     use_fused = mt.nv <= 36 and n_rows * mt.nv <= 10000 and (
         fused is True or fused == "force"
         or (fused == "auto" and jax.default_backend() == "tpu")
@@ -596,27 +606,29 @@ def _decode_contact_forces(m: T.Model, d: T.Data, f, layout):
     accumulated into com-based per-body wrenches (mjData.cfrc_ext analogue)."""
     mt = m.meta
     dtype = d.qpos.dtype
-    ncon = len(mt.con_condim)
+    c = d.contact
+    pruned = c.src is not None
+    ncon = c.dist.shape[0]
     con_force = jnp.zeros((ncon, 6), dtype)
     cfrc_ext = jnp.zeros((mt.nbody, 6), dtype)
     if not ncon:
         return con_force, cfrc_ext
     n_loop, con_layout = layout
     base = n_loop
-    for cd, sel in con_layout:
-        k = int(sel.shape[0])
+    for cd, sel_c, sel in con_layout:
+        k = int(sel_c.shape[0])
         if cd == 1:
             lam = f[base:base + k]
-            con_force = con_force.at[sel, 0].set(lam)
+            con_force = con_force.at[sel_c, 0].set(lam)
             base += k
         else:
             nf = cd - 1
             lam = f[base:base + 2 * nf * k].reshape(nf, 2, k)
-            con_force = con_force.at[sel, 0].set(jnp.sum(lam, axis=(0, 1)))
+            con_force = con_force.at[sel_c, 0].set(jnp.sum(lam, axis=(0, 1)))
             mu = m.con_friction[sel]
             for i in range(nf):
                 comp = mu[:, i] * (lam[i, 0] - lam[i, 1])
-                con_force = con_force.at[sel, 1 + i].set(comp)
+                con_force = con_force.at[sel_c, 1 + i].set(comp)
             base += 2 * nf * k
 
     # world-frame force/torque per slot
@@ -628,6 +640,9 @@ def _decode_contact_forces(m: T.Model, d: T.Data, f, layout):
     slot_geoms = _slot_geoms(mt)
     b1s = jnp.asarray(np.array([gb[g1] for g1, _ in slot_geoms]))
     b2s = jnp.asarray(np.array([gb[g2] for _, g2 in slot_geoms]))
+    if pruned:
+        b1s = b1s[c.src]
+        b2s = b2s[c.src]
     roots = jnp.asarray(np.array(mt.body_rootid))
     o1 = d.subtree_com[roots[b1s]]
     o2 = d.subtree_com[roots[b2s]]

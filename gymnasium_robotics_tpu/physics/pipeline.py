@@ -25,12 +25,14 @@ def make_data(m: T.Model, dtype=jnp.float32) -> T.Data:
     mt = m.meta
     z = lambda *s: jnp.zeros(s, dtype)
     ncon = col.ncon(m)
+    pruned = col.prune_plan(mt).active
     contact = T.Contact(
         dist=jnp.full((ncon,), 1e10, dtype),
         pos=z(ncon, 3),
         frame=jnp.tile(jnp.eye(3, dtype=dtype), (ncon, 1, 1)),
         geom1=jnp.zeros(ncon, jnp.int32),
         geom2=jnp.zeros(ncon, jnp.int32),
+        src=jnp.zeros(ncon, jnp.int32) if pruned else None,
     )
     # mocap bodies initialize at their model (fixed-body) pose
     mocap_pos = z(mt.nmocap, 3)

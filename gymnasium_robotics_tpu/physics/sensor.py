@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 
 from gymnasium_robotics_tpu.physics import types as T
@@ -50,7 +51,19 @@ def sensors(m: T.Model, d: T.Data) -> T.Data:
     # constraint module's force output in a later milestone).
     from gymnasium_robotics_tpu.physics import constraint as cst
 
+    import numpy as np
+
     slot_geoms = cst._slot_geoms(mt)
+    pruned = d.contact.src is not None
+    if pruned:
+        # pair-topk compact table: slot->body membership is traced (src)
+        gb = np.array(mt.geom_bodyid)
+        b1_all = jnp.asarray(
+            gb[np.array([g1 for g1, _ in slot_geoms])]
+        )[d.contact.src]
+        b2_all = jnp.asarray(
+            gb[np.array([g2 for _, g2 in slot_geoms])]
+        )[d.contact.src]
     for s in range(mt.nsensor):
         if mt.sensor_type[s] != SENS_TOUCH:
             continue
@@ -58,6 +71,16 @@ def sensors(m: T.Model, d: T.Data) -> T.Data:
         body = mt.site_bodyid[site]
         adr = mt.sensor_adr[s]
         stype = mt.site_type[site] if mt.site_type else _BOX
+        if pruned:
+            member = (b1_all == body) | (b2_all == body)   # (ncon_c,)
+            rel = d.contact.pos - d.site_xpos[site][None]
+            loc = rel @ d.site_xmat[site]                  # R^T @ rel, rowwise
+            inside = jax.vmap(
+                lambda l: _inside_zone(stype, m.site_size_arr[site], l)
+            )(loc) & member
+            fn = jnp.maximum(d.con_force[:, 0], 0.0)
+            out = out.at[adr].set(jnp.sum(jnp.where(inside, fn, 0.0)))
+            continue
         total = jnp.zeros((), d.qpos.dtype)
         for ci, (g1, g2) in enumerate(slot_geoms):
             if mt.geom_bodyid[g1] != body and mt.geom_bodyid[g2] != body:

@@ -795,18 +795,17 @@ def collision(m: T.Model, d: T.Data) -> T.Data:
     dtype = d.qpos.dtype
     B = d.qpos.shape[-1]
     n_total = COL.ncon(m)
+    pruned = COL.prune_plan(mt).active
 
-    # geom ids are static per model: kept UNBATCHED (ncon,) inside the SoA
-    # pipeline and marked out_batched=False at the custom_vmap boundary —
-    # avoids an (ncon, B) int broadcast (357 MB at kitchen's 10.9k slots,
-    # B=8192) that the AoS scan carry used to materialize.
-    g1s, g2s = [], []
-    for g1, g2 in mt.pairs:
-        k = COL.pair_slots(mt.geom_type[g1], mt.geom_type[g2])
-        g1s += [g1] * k
-        g2s += [g2] * k
-    geom1 = jnp.asarray(np.array(g1s or [], np.int32))
-    geom2 = jnp.asarray(np.array(g2s or [], np.int32))
+    # Without pair-topk pruning geom ids are static per model: kept UNBATCHED
+    # (ncon,) inside the SoA pipeline and marked out_batched=False at the
+    # custom_vmap boundary — avoids an (ncon, B) int broadcast (357 MB at
+    # kitchen's 10.9k slots, B=8192) that the AoS scan carry used to
+    # materialize. With pruning the table is compact and per-lane: geom ids
+    # ride (ncon_c, B) through Contact.src.
+    g1s_np, g2s_np = CV.slot_geoms_static(mt)
+    geom1 = jnp.asarray(g1s_np)
+    geom2 = jnp.asarray(g2s_np)
 
     if not mt.pairs or mt.opt.disable_contact:
         contact = T.Contact(
@@ -815,8 +814,9 @@ def collision(m: T.Model, d: T.Data) -> T.Data:
             frame=jnp.broadcast_to(
                 jnp.eye(3, dtype=dtype)[None, :, :, None], (n_total, 3, 3, B)
             ),
-            geom1=geom1,
-            geom2=geom2,
+            geom1=geom1[:n_total],
+            geom2=geom2[:n_total],
+            src=jnp.zeros((n_total, B), jnp.int32) if pruned else None,
         )
         return dataclasses.replace(d, contact=contact)
 
@@ -826,13 +826,20 @@ def collision(m: T.Model, d: T.Data) -> T.Data:
     if hv is None:
         hv = jnp.zeros((1, 1, 3), dtype)
         hf = jnp.zeros((1, 1, 4), dtype)
-    dist, pos, frame = core(d.geom_xpos, d.geom_xmat, m.geom_size, hv, hf)
+    gmarg = m.geom_margin
+    dist, pos, frame, src = core(
+        d.geom_xpos, d.geom_xmat, m.geom_size, hv, hf, geom_margin=gmarg
+    )
+    if pruned:
+        geom1 = jnp.take(jnp.asarray(g1s_np), src)    # (ncon_c, B)
+        geom2 = jnp.take(jnp.asarray(g2s_np), src)
     contact = T.Contact(
         dist=dist.astype(dtype),
         pos=pos.astype(dtype),
         frame=frame.astype(dtype),
         geom1=geom1,
         geom2=geom2,
+        src=src,
     )
     return dataclasses.replace(d, contact=contact)
 
@@ -1091,11 +1098,17 @@ def build_rows(m: T.Model, d: T.Data):
 
     # --- contacts (pyramidal), per condim group with optional top-K capping;
     # under the cap the K deepest slots are selected PER ENV (traced sel).
+    # With pair-topk pruning (Contact.src) every slot takes the traced path:
+    # per-slot params are gathered through src from the FULL static tables.
     # Per-slot model params (solref/solimp/friction/invweight) are read from
     # batch lane 0 in the traced path: they are compile-time model constants
     # for every supported family (Adroit randomizes body_pos only).
     c = d.contact
-    ncon = len(mt.con_condim)
+    pruned = c.src is not None
+    cond_arr = (
+        COL.compact_condim(mt) if pruned else np.array(mt.con_condim)
+    )
+    ncon = len(cond_arr)
     con_layout = []
     n_loop = len(is_eq_list)
     if ncon:
@@ -1103,30 +1116,52 @@ def build_rows(m: T.Model, d: T.Data):
         slot_geoms = CST._slot_geoms(mt)
         b1s_np = np.array([gb[g1] for g1, _ in slot_geoms])
         b2s_np = np.array([gb[g2] for _, g2 in slot_geoms])
-        pen_all = c.dist - m.con_includemargin                # (ncon, B)
+        if pruned:
+            pen_all = c.dist - jnp.take(m.con_includemargin[..., 0], c.src)
+        else:
+            pen_all = c.dist - m.con_includemargin            # (ncon, B)
         cap = getattr(mt.opt, "contact_cap", 0)
-        cond_arr = np.array(mt.con_condim)
         biw_t = m.body_invweight0[:, 0]                       # (nbody, Bm)
 
-        for cd in sorted(set(mt.con_condim)):
+        for cd in sorted(set(cond_arr.tolist())):
             idx = np.nonzero(cond_arr == cd)[0]
-            traced = bool(cap) and len(idx) > cap
-            if traced:
+            capped = bool(cap) and len(idx) > cap
+            traced = capped or pruned
+            if capped:
                 pen_g = _bB(pen_all, B)[jnp.asarray(idx)]     # (g, B)
                 _, order = jax.lax.top_k(-pen_g.T, cap)       # (B, cap)
-                sel = jnp.asarray(idx)[order].T               # (cap, B)
+                sel_c = jnp.asarray(idx)[order].T             # (cap, B)
                 k = cap
-                pos_s = jnp.take_along_axis(c.pos, sel[:, None, :], axis=0)
+                pos_s = jnp.take_along_axis(c.pos, sel_c[:, None, :], axis=0)
                 frame_s = jnp.take_along_axis(
-                    c.frame, sel[:, None, None, :], axis=0
+                    c.frame, sel_c[:, None, None, :], axis=0
                 )
                 pen = jnp.take_along_axis(pen_g, order.T, axis=0)
-                b1 = jnp.take(jnp.asarray(b1s_np), sel)       # (cap, B)
+                sel = (
+                    jnp.take_along_axis(c.src, sel_c, axis=0) if pruned
+                    else sel_c
+                )                                             # static slot ids
+            elif pruned:
+                k = len(idx)
+                sel_c = idx
+                pos_s = c.pos[jnp.asarray(idx)]
+                frame_s = c.frame[jnp.asarray(idx)]
+                pen = pen_all[jnp.asarray(idx)]
+                sel = c.src[jnp.asarray(idx)]                 # (k, B)
+            else:
+                sel_c = sel = idx
+                k = len(idx)
+                pos_s = c.pos[jnp.asarray(idx)]
+                frame_s = c.frame[jnp.asarray(idx)]
+                pen = pen_all[jnp.asarray(idx)]
+                pen = jnp.broadcast_to(pen, (k, B))
+            if traced:
+                b1 = jnp.take(jnp.asarray(b1s_np), sel)       # (k, B)
                 b2 = jnp.take(jnp.asarray(b2s_np), sel)
                 iw_c = jnp.take(biw_t[..., 0], b1) + jnp.take(biw_t[..., 0], b2)
                 sr_s = jnp.moveaxis(
                     jnp.take(m.con_solref[..., 0], sel, axis=0), 1, -1
-                )                                             # (cap, 2, B)
+                )                                             # (k, 2, B)
                 si_s = jnp.moveaxis(
                     jnp.take(m.con_solimp[..., 0], sel, axis=0), 1, -1
                 )
@@ -1136,12 +1171,6 @@ def build_rows(m: T.Model, d: T.Data):
                 jp1, jr1 = _jacs_traced(m, d, masks_np, pos_s, b1)
                 jp2, jr2 = _jacs_traced(m, d, masks_np, pos_s, b2)
             else:
-                sel = idx
-                k = len(idx)
-                pos_s = c.pos[jnp.asarray(idx)]
-                frame_s = c.frame[jnp.asarray(idx)]
-                pen = pen_all[jnp.asarray(idx)]
-                pen = jnp.broadcast_to(pen, (k, B))
                 iw_c = biw_t[b1s_np[idx]] + biw_t[b2s_np[idx]]  # (k, Bm)
                 sr_s = m.con_solref[jnp.asarray(idx)]
                 si_s = m.con_solimp[jnp.asarray(idx)]
@@ -1154,7 +1183,7 @@ def build_rows(m: T.Model, d: T.Data):
                     d.cdof[None, :, :3], (k,) + d.cdof[:, :3].shape
                 )
                 jr1, jr2 = cdof_r * mk1, cdof_r * mk2
-            con_layout.append((cd, sel, traced))
+            con_layout.append((cd, sel_c, traced, sel))
 
             Jp = jp2 - jp1                                    # (k, nv, 3, B)
             Jr = jr2 - jr1
@@ -1332,11 +1361,15 @@ def solve_constraints(m: T.Model, d: T.Data) -> T.Data:
 
 def _decode_contact_forces(m: T.Model, d: T.Data, f, layout):
     """Pyramid -> contact-frame force per slot, then per-body com wrenches
-    (translation of constraint._decode_contact_forces, batch-last)."""
+    (translation of constraint._decode_contact_forces, batch-last). Slot
+    indices are COMPACT table positions; friction is gathered through the
+    static slot ids (pair-topk pruning aware)."""
     mt = m.meta
     dtype = d.qpos.dtype
     B = d.qpos.shape[-1]
-    ncon = len(mt.con_condim)
+    c = d.contact
+    pruned = c.src is not None
+    ncon = c.dist.shape[0]
     con_force = jnp.zeros((ncon, 6, B), dtype)
     cfrc_ext = jnp.zeros((mt.nbody, 6, B), dtype)
     if not ncon:
@@ -1344,14 +1377,15 @@ def _decode_contact_forces(m: T.Model, d: T.Data, f, layout):
     n_loop, con_layout = layout
     base = n_loop
     lane = jnp.arange(B)[None, :]
-    for cd, sel, traced in con_layout:
-        k = sel.shape[0] if traced else len(sel)
+    for cd, sel_c, traced, sel in con_layout:
+        k = sel_c.shape[0] if not isinstance(sel_c, np.ndarray) else len(sel_c)
+        dyn_pos = not isinstance(sel_c, np.ndarray)
         if cd == 1:
             lam = f[base:base + k]
-            if traced:
-                con_force = con_force.at[sel, 0, lane].set(lam)
+            if dyn_pos:
+                con_force = con_force.at[sel_c, 0, lane].set(lam)
             else:
-                con_force = con_force.at[jnp.asarray(sel), 0].set(lam)
+                con_force = con_force.at[jnp.asarray(sel_c), 0].set(lam)
             base += k
         else:
             nf = cd - 1
@@ -1361,13 +1395,15 @@ def _decode_contact_forces(m: T.Model, d: T.Data, f, layout):
                 mu = jnp.moveaxis(
                     jnp.take(m.con_friction[..., 0], sel, axis=0), 1, -1
                 )
-                con_force = con_force.at[sel, 0, lane].set(normal)
+            else:
+                mu = m.con_friction[jnp.asarray(sel)]
+            if dyn_pos:
+                con_force = con_force.at[sel_c, 0, lane].set(normal)
                 for i in range(nf):
                     comp = mu[:, i] * (lam[i, 0] - lam[i, 1])
-                    con_force = con_force.at[sel, 1 + i, lane].set(comp)
+                    con_force = con_force.at[sel_c, 1 + i, lane].set(comp)
             else:
-                si = jnp.asarray(sel)
-                mu = m.con_friction[si]
+                si = jnp.asarray(sel_c)
                 con_force = con_force.at[si, 0].set(normal)
                 for i in range(nf):
                     comp = mu[:, i] * (lam[i, 0] - lam[i, 1])
@@ -1380,17 +1416,32 @@ def _decode_contact_forces(m: T.Model, d: T.Data, f, layout):
 
     gb = mt.geom_bodyid
     slot_geoms = CST._slot_geoms(mt)
-    b1s = np.array([gb[g1] for g1, _ in slot_geoms])
-    b2s = np.array([gb[g2] for _, g2 in slot_geoms])
+    b1s_np = np.array([gb[g1] for g1, _ in slot_geoms])
+    b2s_np = np.array([gb[g2] for _, g2 in slot_geoms])
     roots = np.array(mt.body_rootid)
-    o1 = d.subtree_com[jnp.asarray(roots[b1s])]
-    o2 = d.subtree_com[jnp.asarray(roots[b2s])]
+    if pruned:
+        b1s = jnp.take(jnp.asarray(b1s_np), c.src)            # (ncon_c, B)
+        b2s = jnp.take(jnp.asarray(b2s_np), c.src)
+        r = jnp.asarray(roots)
+        o1 = jnp.take_along_axis(
+            d.subtree_com, r[b1s][:, None, :], axis=0
+        )
+        o2 = jnp.take_along_axis(
+            d.subtree_com, r[b2s][:, None, :], axis=0
+        )
+    else:
+        o1 = d.subtree_com[jnp.asarray(roots[b1s_np])]
+        o2 = d.subtree_com[jnp.asarray(roots[b2s_np])]
     trq2 = T_w + cross3(d.contact.pos - o2, F_w)
     trq1 = T_w + cross3(d.contact.pos - o1, F_w)
     w2 = jnp.concatenate([trq2, F_w], axis=1)
     w1 = jnp.concatenate([trq1, F_w], axis=1)
-    cfrc_ext = cfrc_ext.at[jnp.asarray(b2s)].add(w2)
-    cfrc_ext = cfrc_ext.at[jnp.asarray(b1s)].add(-w1)
+    if pruned:
+        cfrc_ext = cfrc_ext.at[b2s, :, lane].add(jnp.moveaxis(w2, 1, -1))
+        cfrc_ext = cfrc_ext.at[b1s, :, lane].add(-jnp.moveaxis(w1, 1, -1))
+    else:
+        cfrc_ext = cfrc_ext.at[jnp.asarray(b2s_np)].add(w2)
+        cfrc_ext = cfrc_ext.at[jnp.asarray(b1s_np)].add(-w1)
     cfrc_ext = cfrc_ext.at[0].set(0.0)
     return con_force, cfrc_ext
 
@@ -1429,6 +1480,14 @@ def sensors(m: T.Model, d: T.Data) -> T.Data:
         return d
     out = jnp.zeros((mt.nsensordata, B), dtype)
     slot_geoms = CST._slot_geoms(mt)
+    pruned = d.contact.src is not None
+    if pruned:
+        # compact table: slot->body membership is per lane (traced src)
+        gb = np.array(mt.geom_bodyid)
+        b1_all = jnp.take(jnp.asarray(gb[np.array(
+            [g1 for g1, _ in slot_geoms])]), d.contact.src)   # (ncon_c, B)
+        b2_all = jnp.take(jnp.asarray(gb[np.array(
+            [g2 for _, g2 in slot_geoms])]), d.contact.src)
     for s in range(mt.nsensor):
         if mt.sensor_type[s] != SEN.SENS_TOUCH:
             continue
@@ -1436,16 +1495,23 @@ def sensors(m: T.Model, d: T.Data) -> T.Data:
         body = mt.site_bodyid[site]
         adr = mt.sensor_adr[s]
         stype = mt.site_type[site] if mt.site_type else SEN._BOX
-        cis = np.array([
-            ci for ci, (g1, g2) in enumerate(slot_geoms)
-            if mt.geom_bodyid[g1] == body or mt.geom_bodyid[g2] == body
-        ])
-        if not len(cis):
-            continue
-        rel = d.contact.pos[jnp.asarray(cis)] - d.site_xpos[site][None]
-        loc = jnp.einsum("ijb,kib->kjb", d.site_xmat[site], rel)
-        inside = _inside_zone(stype, m.site_size_arr[site], loc)
-        fn = jnp.maximum(d.con_force[jnp.asarray(cis), 0], 0.0)
+        if pruned:
+            member = (b1_all == body) | (b2_all == body)      # (ncon_c, B)
+            rel = d.contact.pos - d.site_xpos[site][None]
+            loc = jnp.einsum("ijb,kib->kjb", d.site_xmat[site], rel)
+            inside = _inside_zone(stype, m.site_size_arr[site], loc) & member
+            fn = jnp.maximum(d.con_force[:, 0], 0.0)
+        else:
+            cis = np.array([
+                ci for ci, (g1, g2) in enumerate(slot_geoms)
+                if mt.geom_bodyid[g1] == body or mt.geom_bodyid[g2] == body
+            ])
+            if not len(cis):
+                continue
+            rel = d.contact.pos[jnp.asarray(cis)] - d.site_xpos[site][None]
+            loc = jnp.einsum("ijb,kib->kjb", d.site_xmat[site], rel)
+            inside = _inside_zone(stype, m.site_size_arr[site], loc)
+            fn = jnp.maximum(d.con_force[jnp.asarray(cis), 0], 0.0)
         out = out.at[adr].set(jnp.sum(jnp.where(inside, fn, 0.0), axis=0))
     return dataclasses.replace(d, sensordata=out)
 
@@ -1606,6 +1672,8 @@ def _data_to_soa(d: T.Data, db, B: int) -> T.Data:
         return jnp.moveaxis(x, 0, -1)
 
     out = jax.tree_util.tree_map(tx, d, db)
+    if d.contact.src is not None:
+        return out  # pair-topk: slot ids are per lane, no special case
     c = out.contact
     # static slot ids: keep unbatched inside the SoA pipeline
     g1 = c.geom1[..., 0] if c.geom1.ndim > 1 else c.geom1
@@ -1617,6 +1685,8 @@ def _data_to_soa(d: T.Data, db, B: int) -> T.Data:
 
 def _data_from_soa(d: T.Data) -> T.Data:
     out = jax.tree_util.tree_map(lambda x: jnp.moveaxis(x, -1, 0), d)
+    if d.contact.src is not None:
+        return out
     return dataclasses.replace(
         out,
         contact=dataclasses.replace(
@@ -1657,9 +1727,13 @@ def _make_step_n(n: int):
         ds, _ = jax.lax.scan(body, ds, None, length=n)
         out = _data_from_soa(ds)
         ob = jax.tree_util.tree_map(lambda _: True, out)
-        ob = dataclasses.replace(
-            ob, contact=dataclasses.replace(ob.contact, geom1=False, geom2=False)
-        )
+        if out.contact.src is None:
+            ob = dataclasses.replace(
+                ob,
+                contact=dataclasses.replace(
+                    ob.contact, geom1=False, geom2=False
+                ),
+            )
         return out, ob
 
     return step_n_cv

@@ -62,6 +62,16 @@ class Option:
     # max simultaneously active contact slots per condim group (0 = no cap);
     # the TPU-native bound on nefc for scenes with large static pair tables
     contact_cap: int = 0
+    # pair-level top-K dynamic broadphase (0 = off): candidate groups larger
+    # than this evaluate narrowphase only on the K nearest pairs per env
+    # (ranked by world-AABB gap minus margin). The contact table becomes
+    # COMPACT (sum of K_g * slots_g) and Contact.src carries each compact
+    # slot's canonical static slot id (traced per env for pruned groups).
+    # Replaces MuJoCo's sweep-and-prune broadphase (mj_collision) with a
+    # shape-static TPU equivalent. K is calibrated per family against
+    # C-engine rollouts (tools/calibrate_topk.py): the selection is exact
+    # whenever <= K pairs per group are within margin simultaneously.
+    pair_topk: int = 0
     # fused pallas Newton solver for small systems (nv==2); "auto" enables it
     # on TPU backends only, True forces (interpret-mode on CPU), False = off
     fused_solver: str = "auto"
@@ -302,6 +312,11 @@ class Contact:
     frame: Any     # (ncon, 3, 3) rows: normal, tan1, tan2
     geom1: Any     # (ncon,) int
     geom2: Any     # (ncon,) int
+    # canonical static slot id per compact slot (pair_topk pruning only;
+    # None when the contact table is the full static table). Traced per env:
+    # per-slot model params (con_solref/solimp/friction/includemargin) and
+    # slot geoms are gathered through it.
+    src: Any = None  # (ncon_c,) int32 | None
 
 
 @_register

@@ -76,6 +76,64 @@ def test_soa_matches_pipeline_hand_block_capped():
     _compare(m.with_options(contact_cap=16), B=3, n=3, tol=5e-4)
 
 
+def _compare_models(m_a, m_b, B=3, n=3, tol=5e-4, ctrl_scale=0.0, seed=0):
+    """Step two model variants from identical states and compare CHECK
+    fields (contact tables may differ in shape between the variants)."""
+    rng = np.random.RandomState(seed + 1)
+    ctrl = jnp.asarray(
+        rng.uniform(-1, 1, (B, m_a.meta.nu)) * ctrl_scale, jnp.float32
+    )
+    outs = []
+    for m in (m_a, m_b):
+        db = _batch(m, B, seed)
+        outs.append(
+            jax.jit(jax.vmap(lambda dd, cc: pipeline.step_n(m, dd, cc, n)))(
+                db, ctrl
+            )
+        )
+    for fld in CHECK:
+        a = np.asarray(getattr(outs[0], fld))
+        b = np.asarray(getattr(outs[1], fld))
+        if a.size == 0:
+            continue
+        scale = max(1.0, float(np.abs(a).max()))
+        err = float(np.abs(a - b).max()) / scale
+        assert err < tol, f"{fld}: relerr {err:.3e}"
+
+
+def _minimal_pruning_k(m):
+    """Smallest K that still prunes exactly one pair off the largest
+    candidate group (drops only the farthest pair per env)."""
+    from gymnasium_robotics_tpu.physics import collision as C
+
+    probe = C.prune_plan(m.with_options(pair_topk=1).meta)
+    assert probe.active, "model has no prunable candidate groups"
+    return max(len(g.idx) for g in probe.groups if g.pruned) - 1
+
+
+@pytest.mark.parametrize("soa_mode", [False, "force"])
+def test_pair_topk_pruned_matches_full(soa_mode):
+    """Pair-level top-K broadphase (Option.pair_topk): with K one below the
+    largest group size only the farthest candidate pair per env is dropped,
+    so the dynamics must match the full static table. Exercises the compact
+    contact table + Contact.src gather threading in both pipelines
+    (TPU-shape-static analogue of MuJoCo's broadphase inside mj_collision,
+    reference gymnasium_robotics/envs/robot_env.py:340-341)."""
+    m, _ = serialize.load_asset("hand/manipulate_block")
+    m = m.with_options(contact_cap=16, soa=soa_mode)
+    k = _minimal_pruning_k(m)
+    _compare_models(m, m.with_options(pair_topk=k), B=3, n=3, tol=5e-4)
+
+
+def test_pair_topk_touch_sensors():
+    """Touch-sensor readout under the compact pruned table must match the
+    full-table readout (slot->body membership becomes traced via src)."""
+    m, _ = serialize.load_asset("hand/manipulate_block_touch")
+    m = m.with_options(contact_cap=16)
+    k = _minimal_pruning_k(m)
+    _compare_models(m, m.with_options(pair_topk=k), B=2, n=2, tol=5e-4)
+
+
 def test_soa_single_env_falls_back():
     m, _ = serialize.load_asset("fetch/reach")
     d0 = pipeline.make_data(m)
