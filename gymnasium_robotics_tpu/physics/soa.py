@@ -298,19 +298,86 @@ def kinematics(m: T.Model, d: T.Data) -> T.Data:
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _tree_mats(mt: T.Meta):
+    """Static tree-accumulation matrices: every sequential parent/child pass
+    of the smooth stack is a linear accumulation over a FIXED tree, so it
+    collapses to one matmul with a 0/1 ancestor/subtree matrix (MXU work
+    instead of one gather/scatter chain per tree level — the op-count killer
+    on the tunneled TPU runtime).
+
+    Returns dict of numpy float32 matrices:
+      sub   (nbody, nbody): sub[a, b] = 1 iff b is in subtree(a) (incl a)
+      danc  (nbody, nv):    danc[b, e] = 1 iff dof e lies on the root->b path
+                            (including b's own dofs) — cvel / cacc operator
+      subd  (nv, nbody):    subd[e, b] = 1 iff b in subtree(dof_body[e]) —
+                            CRB / RNE-backward gathered at the dof level
+      prefix (nv, nv):      prefix[d, e] = 1 iff dof e contributes to the
+                            PRE-dof-d accumulated velocity in mj_comVel
+                            order (strict body ancestors; earlier joints of
+                            the same body; a free joint's translation before
+                            its own rotation — rotational dofs of one
+                            free/ball joint share the pre-rotation velocity)
+      cdofdot_mask (nv,):   0 on free-joint translational rows (their
+                            cdof_dot is identically zero), 1 elsewhere
+    """
+    nbody, nv = mt.nbody, mt.nv
+    par = np.array(mt.body_parentid)
+    anc = np.zeros((nbody, nbody), np.float32)  # anc[b, a]: a anc-or-self
+    for b in range(nbody):
+        a = b
+        while True:
+            anc[b, a] = 1.0
+            if a == 0:
+                break
+            a = int(par[a])
+    dof_body = np.array(mt.dof_bodyid)
+    # per-dof (joint id, sub-order within joint)
+    jnt_of_dof = np.zeros(nv, np.int64)
+    sub_of_dof = np.zeros(nv, np.int64)
+    free_trans = np.zeros(nv, bool)
+    for j in range(mt.njnt):
+        adr = mt.jnt_dofadr[j]
+        jt = mt.jnt_type[j]
+        w = T.JNT_DOF_WIDTH[jt]
+        for k in range(w):
+            jnt_of_dof[adr + k] = j
+            if jt == T.FREE:
+                sub_of_dof[adr + k] = 0 if k < 3 else 1
+                free_trans[adr + k] = k < 3
+    danc = anc[:, dof_body].astype(np.float32)  # (nbody, nv)
+    sub = anc.T.copy()
+    subd = sub[dof_body].astype(np.float32)     # (nv, nbody)
+    prefix = np.zeros((nv, nv), np.float32)
+    for dd in range(nv):
+        bd = dof_body[dd]
+        for e in range(nv):
+            be = dof_body[e]
+            if be == bd:
+                if jnt_of_dof[e] < jnt_of_dof[dd] or (
+                    jnt_of_dof[e] == jnt_of_dof[dd]
+                    and sub_of_dof[e] < sub_of_dof[dd]
+                ):
+                    prefix[dd, e] = 1.0
+            elif anc[bd, be] and be != bd:
+                prefix[dd, e] = 1.0
+    return dict(
+        sub=sub, danc=danc, subd=subd, prefix=prefix,
+        cdofdot_mask=(~free_trans).astype(np.float32),
+    )
+
+
 def com_pos(m: T.Model, d: T.Data) -> T.Data:
     mt = m.meta
     B = d.qpos.shape[-1]
     plan = SV._plan(mt)
+    tm = _tree_mats(mt)
+    dtype = d.qpos.dtype
 
     mom = d.xipos * m.body_mass[:, None, :]
-    sub_mom = mom
-    sub_mass = _bB(m.body_mass, B)
-    for lv in reversed(plan.levels):
-        bidx = jnp.asarray(lv["bodies"])
-        pidx = jnp.asarray(lv["parents"])
-        sub_mom = sub_mom.at[pidx].add(sub_mom[bidx])
-        sub_mass = sub_mass.at[pidx].add(sub_mass[bidx])
+    sub_j = jnp.asarray(tm["sub"], dtype)
+    sub_mom = jnp.einsum("ij,jcb->icb", sub_j, mom)
+    sub_mass = sub_j @ _bB(m.body_mass, B).astype(dtype)
     subtree_com = jnp.where(
         (sub_mass > 1e-10)[:, None, :],
         sub_mom / jnp.maximum(sub_mass, 1e-12)[:, None, :],
@@ -371,76 +438,34 @@ def com_pos(m: T.Model, d: T.Data) -> T.Data:
 
 
 def com_vel(m: T.Model, d: T.Data) -> T.Data:
+    """cvel / cdof_dot as two static-matrix contractions: every dof's
+    contribution is linear, so the per-level accumulation loop is
+    danc @ (cdof*qvel), and each dof's mj_comVel-order pre-velocity is
+    prefix @ (cdof*qvel) (free/ball rotational dofs share the PRE-rotation
+    accumulated velocity — encoded in the prefix matrix)."""
     mt = m.meta
     dtype = d.qpos.dtype
-    B = d.qpos.shape[-1]
-    plan = SV._plan(mt)
-    cvel = jnp.zeros((mt.nbody, 6, B), dtype)
-    cdof_dot = jnp.zeros((mt.nv, 6, B), dtype)
+    tm = _tree_mats(mt)
 
-    for lv in plan.levels:
-        bidx = jnp.asarray(lv["bodies"])
-        pidx = jnp.asarray(lv["parents"])
-        v = cvel[pidx]
-        for groups in lv["rounds"]:
-            for jt, g in groups.items():
-                li = jnp.asarray(g["li"])
-                dadr = jnp.asarray(g["dadr"])
-                if jt == T.FREE:
-                    idx3 = jnp.asarray(
-                        np.asarray(g["dadr"])[:, None] + np.arange(3)
-                    )
-                    contrib = jnp.einsum(
-                        "kjcb,kjb->kcb", d.cdof[idx3], d.qvel[idx3]
-                    )
-                    v = v.at[li].add(contrib)
-                    ridx = np.asarray(g["dadr"])[:, None] + np.arange(3, 6)
-                    cd = d.cdof[jnp.asarray(ridx)]  # (k, 3, 6, B)
-                    dots = motion_cross(v[li][:, None], cd)
-                    cdof_dot = cdof_dot.at[jnp.asarray(ridx.reshape(-1))].set(
-                        dots.reshape(-1, 6, B)
-                    )
-                    v = v.at[li].add(
-                        jnp.einsum(
-                            "kjcb,kjb->kcb", cd, d.qvel[jnp.asarray(ridx)]
-                        )
-                    )
-                elif jt == T.BALL:
-                    ridx = np.asarray(g["dadr"])[:, None] + np.arange(3)
-                    cd = d.cdof[jnp.asarray(ridx)]
-                    dots = motion_cross(v[li][:, None], cd)
-                    cdof_dot = cdof_dot.at[jnp.asarray(ridx.reshape(-1))].set(
-                        dots.reshape(-1, 6, B)
-                    )
-                    v = v.at[li].add(
-                        jnp.einsum(
-                            "kjcb,kjb->kcb", cd, d.qvel[jnp.asarray(ridx)]
-                        )
-                    )
-                else:
-                    cd = d.cdof[dadr]  # (k, 6, B)
-                    cdof_dot = cdof_dot.at[dadr].set(motion_cross(v[li], cd))
-                    v = v.at[li].add(cd * d.qvel[dadr][:, None, :])
-        cvel = cvel.at[bidx].set(v)
-
+    cq = d.cdof * d.qvel[:, None, :]                        # (nv, 6, B)
+    cvel = jnp.einsum("ij,jcb->icb", jnp.asarray(tm["danc"], dtype), cq)
+    vpre = jnp.einsum("ij,jcb->icb", jnp.asarray(tm["prefix"], dtype), cq)
+    cdof_dot = motion_cross(vpre, d.cdof) * jnp.asarray(
+        tm["cdofdot_mask"], dtype
+    )[:, None, None]
     return dataclasses.replace(d, cvel=cvel, cdof_dot=cdof_dot)
 
 
 def crb(m: T.Model, d: T.Data) -> T.Data:
     mt = m.meta
     B = d.qpos.shape[-1]
-    plan = SV._plan(mt)
-    crb_arr = d.cinert
-    for lv in reversed(plan.levels):
-        bidx = jnp.asarray(lv["bodies"])
-        pidx = jnp.asarray(lv["parents"])
-        add = jnp.where(
-            (lv["parents"] > 0)[:, None, None], crb_arr[bidx], 0.0
-        )
-        crb_arr = crb_arr.at[pidx].add(add)
-
-    dof_body = jnp.asarray(plan.dof_body)
-    F = inert_mul(crb_arr[dof_body], d.cdof)  # (nv, 6, B)
+    tm = _tree_mats(mt)
+    # composite rigid-body inertia gathered directly at the dof level:
+    # crb[dof_body[e]] = sum of cinert over subtree(dof_body[e])
+    crb_dof = jnp.einsum(
+        "ij,jcb->icb", jnp.asarray(tm["subd"], d.qpos.dtype), d.cinert
+    )
+    F = inert_mul(crb_dof, d.cdof)  # (nv, 6, B)
     G = jnp.einsum("icb,jcb->ijb", F, d.cdof)
     mask = jnp.asarray(SM._ancestor_mask(mt))
     Ml = jnp.where(mask[:, :, None], G, 0.0)
@@ -452,36 +477,34 @@ def crb(m: T.Model, d: T.Data) -> T.Data:
 
 
 def rne(m: T.Model, d: T.Data) -> T.Data:
+    """RNE as three static-matrix contractions: the forward cacc pass is
+    danc @ (cdof_dot*qvel) (+ gravity base), the backward force pass is a
+    subtree sum gathered at the dof level (subd), and qfrc_bias is the
+    per-dof spatial dot."""
     mt = m.meta
     dtype = d.qpos.dtype
     B = d.qpos.shape[-1]
-    plan = SV._plan(mt)
+    tm = _tree_mats(mt)
     grav = np.asarray(mt.opt.gravity, np.float64)
     if mt.opt.disable_gravity:
         grav = np.zeros(3)
     cacc0 = jnp.asarray(
         np.concatenate([np.zeros(3), -grav]), dtype
     )[None, :, None]
-    cacc = jnp.broadcast_to(cacc0, (mt.nbody, 6, B))
 
-    dof_body = jnp.asarray(plan.dof_body)
-    contrib = d.cdof_dot * d.qvel[:, None, :]
-    body_contrib = jnp.zeros((mt.nbody, 6, B), dtype).at[dof_body].add(contrib)
-    for lv in plan.levels:
-        bidx = jnp.asarray(lv["bodies"])
-        pidx = jnp.asarray(lv["parents"])
-        cacc = cacc.at[bidx].set(cacc[pidx] + body_contrib[bidx])
+    contrib = d.cdof_dot * d.qvel[:, None, :]               # (nv, 6, B)
+    cacc = cacc0 + jnp.einsum(
+        "ij,jcb->icb", jnp.asarray(tm["danc"], dtype), contrib
+    )
 
     hb = inert_mul(d.cinert, d.cvel)
     cfrc = inert_mul(d.cinert, cacc) + motion_cross_force(d.cvel, hb)
-    cfrc = cfrc.at[0].set(0.0)
-    for lv in reversed(plan.levels):
-        bidx = jnp.asarray(lv["bodies"])
-        pidx = jnp.asarray(lv["parents"])
-        add = jnp.where((lv["parents"] > 0)[:, None, None], cfrc[bidx], 0.0)
-        cfrc = cfrc.at[pidx].add(add)
-
-    qfrc_bias = jnp.sum(d.cdof * cfrc[dof_body], axis=-2)
+    # subtree force sum per dof body (world never contributes: dof bodies'
+    # subtrees exclude it, matching the parent>0 masking of the level pass)
+    cfrc_dof = jnp.einsum(
+        "ij,jcb->icb", jnp.asarray(tm["subd"], dtype), cfrc
+    )
+    qfrc_bias = jnp.sum(d.cdof * cfrc_dof, axis=-2)
     return dataclasses.replace(d, qfrc_bias=qfrc_bias)
 
 
