@@ -110,13 +110,15 @@ def _register_fetch():
 
 
 def _register_locomotion():
-    """Single-agent locomotion IDs: the MaMuJoCo base scenarios plus the
-    legacy v2/v3 re-registrations (reference gymnasium_robotics/__init__.py:
-    1123-1261; implemented with v5 semantics on the batched core — the
-    deprecated mujoco_py bitwise behavior is explicitly out of scope,
-    SURVEY.md §7 step 7)."""
+    """Single-agent locomotion IDs: the MaMuJoCo base scenarios (v5
+    semantics) plus the legacy v2/v3 re-registrations with their FROZEN
+    mujoco_py-era obs/reward conventions (reference
+    gymnasium_robotics/__init__.py:1123-1261, envs/mujoco/*_v{2,3}.py —
+    structural semantics implemented in locomotion/legacy.py; mujoco_py
+    bitwise behavior remains out of scope, SURVEY.md §7 step 7)."""
     try:
         from gymnasium_robotics_tpu.envs.locomotion import classic as C
+        from gymnasium_robotics_tpu.envs.locomotion import legacy as LG
         from gymnasium_robotics_tpu.envs.locomotion import locomotion as L
     except ImportError:
         return
@@ -135,12 +137,19 @@ def _register_locomotion():
         "Pusher": (C.make_pusher, 100),
     }
     for name, (maker, steps) in makers.items():
-        for ver in ("v2", "v3", "v5"):
+        register(
+            id=f"{name}-v5",
+            entry_point=maker,
+            max_episode_steps=steps,
+            kwargs={},
+        )
+    for name, (maker, versions, steps) in LG.LEGACY_REGISTRY.items():
+        for ver in versions:
             register(
                 id=f"{name}-{ver}",
                 entry_point=maker,
                 max_episode_steps=steps,
-                kwargs={},
+                kwargs={"version": ver},
             )
 
 

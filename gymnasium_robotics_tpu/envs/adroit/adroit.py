@@ -124,8 +124,7 @@ class AdroitEnv(core.FunctionalEnv):
         data = dataclasses.replace(
             data, qpos=self._init_qpos, qvel=self._init_qvel
         )
-        data = smooth.kinematics(m, data)
-        data = smooth.com_pos(m, data)
+        data = pipeline.refresh_kin(m, data)
         obs, _, _ = self._task_obs_reward(m, data, jnp.zeros(self.model.nu, self.dtype))
         return dataclasses.replace(
             state, data=data, obs=obs,
@@ -173,8 +172,7 @@ class AdroitEnv(core.FunctionalEnv):
             qpos=jnp.asarray(state_dict["qpos"], self.dtype),
             qvel=jnp.asarray(state_dict["qvel"], self.dtype),
         )
-        data = smooth.kinematics(m, data)
-        data = smooth.com_pos(m, data)
+        data = pipeline.refresh_kin(m, data)
         obs, _, _ = self._task_obs_reward(
             m, data, jnp.zeros(self.model.nu, self.dtype)
         )

@@ -196,8 +196,7 @@ class FetchEnv(core.GoalEnv):
             data, qpos=qpos, qvel=self._init_qvel,
             mocap_pos=self._init_mocap_pos, mocap_quat=self._init_mocap_quat,
         )
-        data = smooth.kinematics(self.model, data)
-        data = smooth.com_pos(self.model, data)
+        data = pipeline.refresh_kin(self.model, data)
         goal = self._sample_goal(r_goal, None)
         obs = self._get_obs(data, goal)
         return dataclasses.replace(
@@ -220,8 +219,7 @@ class FetchEnv(core.GoalEnv):
             data, qpos=qpos, qvel=self._init_qvel,
             mocap_pos=self._init_mocap_pos, mocap_quat=self._init_mocap_quat,
         )
-        data = smooth.kinematics(self.model, data)
-        data = smooth.com_pos(self.model, data)
+        data = pipeline.refresh_kin(self.model, data)
         goal = jnp.asarray(values["goal"], self.dtype)
         obs = self._get_obs(data, goal)
         return dataclasses.replace(
@@ -261,8 +259,7 @@ class FetchEnv(core.GoalEnv):
             for q in self._finger_qadr:
                 qpos = qpos.at[q].set(0.0)
             data = dataclasses.replace(data, qpos=qpos)
-            data = smooth.kinematics(m, data)
-            data = smooth.com_pos(m, data)
+            data = pipeline.refresh_kin(m, data)
 
         obs = self._get_obs(data, state.goal)
         achieved = obs["achieved_goal"]

@@ -172,8 +172,7 @@ class HandReachEnv(HandBaseEnv):
         data = dataclasses.replace(
             data, qpos=self._init_qpos, qvel=self._init_qvel
         )
-        data = smooth.kinematics(self.model, data)
-        data = smooth.com_pos(self.model, data)
+        data = pipeline.refresh_kin(self.model, data)
         goal = self._sample_goal(r_goal)
         obs = self._get_obs(data, goal)
         return dataclasses.replace(
@@ -208,8 +207,7 @@ class HandReachEnv(HandBaseEnv):
         data = dataclasses.replace(
             data, qpos=self._init_qpos, qvel=self._init_qvel
         )
-        data = smooth.kinematics(self.model, data)
-        data = smooth.com_pos(self.model, data)
+        data = pipeline.refresh_kin(self.model, data)
         goal = jnp.asarray(values["goal"], self.dtype)
         obs = self._get_obs(data, goal)
         return dataclasses.replace(
@@ -440,8 +438,7 @@ class HandManipulateEnv(HandBaseEnv):
         # manipulate.py:281-296)
         qpos = jax.lax.dynamic_update_slice(data.qpos, goal, (self._target_qadr,))
         data = dataclasses.replace(data, qpos=qpos)
-        data = smooth.kinematics(self.model, data)
-        data = smooth.com_pos(self.model, data)
+        data = pipeline.refresh_kin(self.model, data)
         obs = self._get_obs(data, goal)
         return dataclasses.replace(
             state, data=data, obs=obs,
@@ -501,8 +498,7 @@ class HandManipulateEnv(HandBaseEnv):
             data.qpos, goal, (self._target_qadr,)
         )
         data = dataclasses.replace(data, qpos=qpos)
-        data = smooth.kinematics(self.model, data)
-        data = smooth.com_pos(self.model, data)
+        data = pipeline.refresh_kin(self.model, data)
         obs = self._get_obs(data, goal)
         return dataclasses.replace(
             state, data=data, obs=obs,

@@ -187,7 +187,7 @@ class KitchenEnv(core.GoalEnv):
         data = dataclasses.replace(
             data, qpos=self._init_qpos, qvel=self._init_qvel
         )
-        data = smooth.kinematics(self.model, data)
+        data = pipeline.refresh_kin(self.model, data, com=False)
         obs, last_qpos = self._get_obs(data, noise)
         n = len(self.tasks)
         info = {

@@ -214,7 +214,7 @@ class ReacherEnv(LocomotionEnv):
         qvel = qvel.at[-2:].set(0.0)
         data = pipeline.make_data(self.model, dtype=self.dtype)
         data = dataclasses.replace(data, qpos=qpos, qvel=qvel)
-        data = smooth.kinematics(self.model, data)
+        data = pipeline.refresh_kin(self.model, data, com=False)
         obs = self._get_obs(data)
         return dataclasses.replace(
             state, data=data, obs=obs,
@@ -278,7 +278,7 @@ class PusherEnv(LocomotionEnv):
         qvel = qvel.at[-4:].set(0.0)
         data = pipeline.make_data(self.model, dtype=self.dtype)
         data = dataclasses.replace(data, qpos=qpos, qvel=qvel)
-        data = smooth.kinematics(self.model, data)
+        data = pipeline.refresh_kin(self.model, data, com=False)
         obs = self._get_obs(data)
         return dataclasses.replace(
             state, data=data, obs=obs,

@@ -207,7 +207,7 @@ class LocomotionEnv(core.FunctionalEnv):
         data = dataclasses.replace(data, qpos=qpos, qvel=qvel)
         from gymnasium_robotics_tpu.physics import smooth
 
-        data = smooth.kinematics(self.model, data)
+        data = pipeline.refresh_kin(self.model, data, com=False)
         obs = self._get_obs(data)
         return dataclasses.replace(
             state, data=data, obs=obs,

@@ -192,7 +192,7 @@ class AntMazeEnv(core.GoalEnv):
         data = pipeline.make_data(self.model, dtype=self.dtype)
         qpos = data.qpos.at[:2].set(reset_pos)  # reset_noise_scale = 0
         data = dataclasses.replace(data, qpos=qpos)
-        data = smooth.kinematics(self.model, data)
+        data = pipeline.refresh_kin(self.model, data, com=False)
         obs = self._get_obs(data, goal)
         success = jnp.linalg.norm(obs["achieved_goal"] - goal) <= 0.45
         return dataclasses.replace(

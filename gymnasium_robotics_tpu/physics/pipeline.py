@@ -288,6 +288,18 @@ def step_n(m: T.Model, d: T.Data, ctrl, n: int) -> T.Data:
     return step_n_loop(m, d, ctrl, n)
 
 
+def refresh_kin(m: T.Model, d: T.Data, com: bool = True) -> T.Data:
+    """Kinematics (+com_pos) refresh for env-layer callbacks (the
+    mj_forward-after-qpos-write analogue, reference fetch_env.py:295-303 and
+    reset-state construction). Routed batch-last on TPU like step_n."""
+    from gymnasium_robotics_tpu.physics import soa
+
+    if soa.use_soa(m.meta):
+        return soa.refresh_kin(m, d, com)
+    d = smooth.kinematics(m, d)
+    return smooth.com_pos(m, d) if com else d
+
+
 def step_n_loop(m: T.Model, d: T.Data, ctrl, n: int) -> T.Data:
     """The reference (per-env AoS) substep loop; also the SoA entry's
     single-env fallback — must not re-dispatch to soa.step_n."""

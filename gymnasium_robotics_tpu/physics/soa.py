@@ -1766,3 +1766,43 @@ def step_n(m: T.Model, d: T.Data, ctrl, n: int) -> T.Data:
     """SoA n-substep entry. Unbatched calls fall back to the reference
     pipeline; under vmap the whole loop runs batch-last."""
     return _make_step_n(int(n))(m, d, ctrl)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_kin_refresh(with_com: bool):
+    @jax.custom_batching.custom_vmap
+    def kin(m, d):
+        from gymnasium_robotics_tpu.physics import smooth
+
+        d = smooth.kinematics(m, d)
+        return smooth.com_pos(m, d) if with_com else d
+
+    @kin.def_vmap
+    def _rule(axis_size, in_batched, m, d):
+        mb, db = in_batched
+        ms = _model_to_soa(m, mb)
+        ds = _data_to_soa(d, db, axis_size)
+        ds = kinematics(ms, ds)
+        if with_com:
+            ds = com_pos(ms, ds)
+        out = _data_from_soa(ds)
+        ob = jax.tree_util.tree_map(lambda _: True, out)
+        if out.contact.src is None:
+            ob = dataclasses.replace(
+                ob,
+                contact=dataclasses.replace(
+                    ob.contact, geom1=False, geom2=False
+                ),
+            )
+        return out, ob
+
+    return kin
+
+
+def refresh_kin(m: T.Model, d: T.Data, com: bool = True) -> T.Data:
+    """Kinematics (+com_pos) refresh that stays batch-last under vmap — the
+    SoA entry for env-layer callbacks that re-derive positions outside the
+    substep loop (fetch block_gripper's mj_forward analogue, reset-state
+    construction). The AoS vmapped level loops put 3-vectors on the TPU lane
+    axis (42x padding); this routes them through the SoA stages instead."""
+    return _make_kin_refresh(bool(com))(m, d)

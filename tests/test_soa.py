@@ -134,6 +134,25 @@ def test_pair_topk_touch_sensors():
     _compare_models(m, m.with_options(pair_topk=k), B=2, n=2, tol=5e-4)
 
 
+def test_refresh_kin_matches_aos():
+    """soa.refresh_kin (the batch-last kinematics refresh used by env-layer
+    callbacks/resets) must match the AoS smooth stack under vmap."""
+    from gymnasium_robotics_tpu.physics import smooth, soa
+
+    m, _ = serialize.load_asset("fetch/push")
+    db = _batch(m, B=3)
+    out_ref = jax.jit(
+        jax.vmap(lambda dd: smooth.com_pos(m, smooth.kinematics(m, dd)))
+    )(db)
+    out_soa = jax.jit(jax.vmap(lambda dd: soa.refresh_kin(m, dd)))(db)
+    for fld in ["xpos", "xquat", "geom_xpos", "site_xpos", "subtree_com",
+                "cdof", "cinert"]:
+        a = np.asarray(getattr(out_ref, fld))
+        b = np.asarray(getattr(out_soa, fld))
+        scale = max(1.0, float(np.abs(a).max()))
+        assert float(np.abs(a - b).max()) / scale < 2e-5, fld
+
+
 def test_soa_single_env_falls_back():
     m, _ = serialize.load_asset("fetch/reach")
     d0 = pipeline.make_data(m)
