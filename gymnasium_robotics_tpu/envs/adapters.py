@@ -162,9 +162,11 @@ class GymAdapter(gym.Env if gym else object):
         )
 
     def render(self):
-        """rgb_array frames from the host-side software renderer (the
-        reference's MujocoRenderer analogue, robot_env.py:282-290)."""
-        if self.render_mode != "rgb_array" or self._state is None:
+        """rgb_array / depth_array frames from the host-side software
+        renderer (the reference's MujocoRenderer analogue,
+        robot_env.py:282-290)."""
+        if self.render_mode not in ("rgb_array", "depth_array") \
+                or self._state is None:
             return None
         data = getattr(self._state, "data", None)
         model = getattr(self.env, "model", None)
@@ -189,7 +191,10 @@ class GymAdapter(gym.Env if gym else object):
             )
         fresh = self._render_kin(data)
         host = _jax.device_get((fresh.geom_xpos, fresh.geom_xmat))
-        return R.render_frame(model, host[0], host[1], camera=cam)
+        return R.render_frame(
+            model, host[0], host[1], camera=cam,
+            depth=self.render_mode == "depth_array",
+        )
 
     def close(self):
         pass

@@ -29,7 +29,7 @@ from gymnasium_robotics_tpu.utils import rotations
 
 
 class AdroitEnv(core.FunctionalEnv):
-    metadata = {"render_modes": ["rgb_array"], "render_fps": 100}
+    metadata = {"render_modes": ["rgb_array", "depth_array"], "render_fps": 100}
     task = "door"
     frame_skip = 5
     obs_dim = 39
@@ -44,6 +44,10 @@ class AdroitEnv(core.FunctionalEnv):
         self.model = self.model.with_options(
             contact_cap=16, iterations=5, ls_iterations=4
         )
+        # per-task reference viewpoint (adroit_door.py:23-26 and siblings)
+        from gymnasium_robotics_tpu.render import renderer as _R
+
+        self.camera_config = _R.ADROIT_CAMERAS.get(self.task)
         self._init_qpos = jnp.asarray(extra["initial_qpos"], dtype)
         self._init_qvel = jnp.asarray(extra["initial_qvel"], dtype)
         mt = self.model.meta

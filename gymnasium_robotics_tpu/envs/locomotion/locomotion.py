@@ -86,6 +86,10 @@ class LocomotionEnv(core.FunctionalEnv):
         self.observation_space = spaces.Box(
             -np.inf, np.inf, shape=(obs_dim,), dtype=np.float64
         )
+        self.metadata = {
+            "render_modes": ["rgb_array", "depth_array"],
+            "render_fps": int(round(1.0 / self.dt)),
+        }
 
     def _obs_dim(self):
         mt = self.model.meta

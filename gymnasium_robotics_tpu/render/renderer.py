@@ -197,8 +197,13 @@ def render_frame(
     width: int = 480,
     height: int = 480,
     camera: Optional[CameraConfig] = None,
+    depth: bool = False,
 ) -> np.ndarray:
-    """Rasterize one frame -> uint8 (height, width, 3)."""
+    """Rasterize one frame -> uint8 (height, width, 3), or, with
+    depth=True, the z-buffer as float32 (height, width) normalized like an
+    OpenGL depth buffer ((1 - znear/z) / (1 - znear/zfar), znear/zfar =
+    0.01x/50x the scene extent — the convention Gymnasium's MujocoRenderer
+    'depth_array' mode reads back, reference robot_env.py:282-290)."""
     meta = model.meta
     geom_xpos = np.asarray(geom_xpos, float)
     geom_xmat = np.asarray(geom_xmat, float)
@@ -237,6 +242,8 @@ def render_frame(
         tri_v.append(tv)
         tri_c.append(col)
     if not tri_v:
+        if depth:
+            return np.ones((height, width), np.float32)
         return np.zeros((height, width, 3), np.uint8)
     tv = np.concatenate(tri_v)  # (F, 3, 3)
     tc = np.concatenate(tri_c)  # (F, 3)
@@ -286,25 +293,52 @@ def render_frame(
             continue
         # perspective-correct depth via 1/z interpolation
         iz = w0 / zc[t, 0] + w1 / zc[t, 1] + w2 / zc[t, 2]
-        depth = 1.0 / np.maximum(iz, 1e-12)
+        depth_t = 1.0 / np.maximum(iz, 1e-12)
         sub = zbuf[y0[t]:y1[t] + 1, x0[t]:x1[t] + 1]
-        win = inside & (depth < sub)
+        win = inside & (depth_t < sub)
         if not win.any():
             continue
-        sub[win] = depth[win]
+        sub[win] = depth_t[win]
         img[y0[t]:y1[t] + 1, x0[t]:x1[t] + 1][win] = shade_col[t]
+    if depth:
+        # OpenGL-style normalization against the scene extent (MuJoCo uses
+        # znear = 0.01 * extent, zfar = 50 * extent)
+        extent = max(float(camera.distance), 1e-3)
+        znear, zfar = 0.01 * extent, 50.0 * extent
+        z = np.clip(zbuf, znear, zfar)
+        buf = (1.0 - znear / z) / (1.0 - znear / zfar)
+        buf[~np.isfinite(zbuf)] = 1.0
+        return buf.astype(np.float32)
     return (np.clip(img, 0, 1) * 255).astype(np.uint8)
 
 
 # per-family camera overrides (mirroring the reference DEFAULT_CAMERA_CONFIGs
 # where they exist, e.g. maze_v4 / ant_maze_v5 / adroit)
 FAMILY_CAMERAS = {
-    "fetch": CameraConfig(lookat=(1.3, 0.75, 0.6), distance=1.6,
+    # reference fetch_env.py:8-13
+    "fetch": CameraConfig(lookat=(1.3, 0.75, 0.55), distance=2.5,
                           azimuth=132.0, elevation=-14.0),
-    "hand": CameraConfig(lookat=(1.0, 0.9, 0.2), distance=0.6,
+    # reference shadow_dexterous_hand/hand_env.py:7-12
+    "hand": CameraConfig(lookat=(1.0, 0.96, 0.14), distance=0.5,
                          azimuth=55.0, elevation=-25.0),
-    "adroit": CameraConfig(lookat=(0.0, -0.2, 0.2), distance=1.2,
+    # reference adroit_door.py:23-26 (per-task overrides live on the env
+    # classes as .camera_config)
+    "adroit": CameraConfig(lookat=(0.0, -0.2, 0.2), distance=1.5,
                            azimuth=90.0, elevation=-30.0),
-    "kitchen": CameraConfig(lookat=(-0.3, 0.5, 2.0), distance=2.6,
+    # reference franka_env.py:33-38
+    "kitchen": CameraConfig(lookat=(-0.2, 0.5, 2.0), distance=2.2,
                             azimuth=70.0, elevation=-35.0),
+}
+
+# per-task Adroit viewpoints (adroit_hammer.py:24-27, adroit_pen.py:24-27,
+# adroit_relocate.py:23-26)
+ADROIT_CAMERAS = {
+    "door": CameraConfig(lookat=(0.0, -0.2, 0.2), distance=1.5,
+                         azimuth=90.0, elevation=-30.0),
+    "hammer": CameraConfig(lookat=(0.0, -0.2, 0.2), distance=2.0,
+                           azimuth=45.0, elevation=-30.0),
+    "pen": CameraConfig(lookat=(0.0, -0.2, 0.2), distance=1.0,
+                        azimuth=-45.0, elevation=-30.0),
+    "relocate": CameraConfig(lookat=(0.0, -0.2, 0.2), distance=1.5,
+                             azimuth=90.0, elevation=-30.0),
 }

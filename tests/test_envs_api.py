@@ -206,3 +206,27 @@ def test_render_rgb_array():
         env.step(np.array([1.0, 0.0], np.float32))
     f2 = env.render()
     assert (f1 != f2).any(), "frame did not change after motion"
+
+
+def test_render_depth_array():
+    """depth_array mode returns a normalized float32 z-buffer (the
+    MujocoRenderer depth readback analogue, reference robot_env.py:282-290)
+    and every family advertises both offscreen modes."""
+    import numpy as np
+
+    from gymnasium_robotics_tpu import registry
+
+    env = registry.make_gym("PointMaze_UMaze-v3")
+    env.render_mode = "depth_array"
+    assert "depth_array" in env.metadata["render_modes"]
+    env.reset(seed=0)
+    d = env.render()
+    assert d.shape == (480, 480) and d.dtype == np.float32
+    assert float(d.min()) >= 0.0 and float(d.max()) <= 1.0
+    # scene has structure: foreground strictly nearer than background
+    assert float(d.min()) < float(d.max())
+
+    for eid in ["FetchReach-v4", "AdroitHandDoor-v1", "FrankaKitchen-v1",
+                "HandReach-v0", "AntMaze_UMaze-v5", "HalfCheetah-v3"]:
+        env = registry.make_gym(eid)
+        assert "depth_array" in env.metadata["render_modes"], eid
