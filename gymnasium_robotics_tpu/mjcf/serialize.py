@@ -43,7 +43,7 @@ def _meta_from_json(s: str) -> T.Meta:
 def save_model(m: T.Model, path: str, extra: dict | None = None):
     arrays = {}
     for f in dataclasses.fields(T.Model):
-        if f.name == "meta":
+        if f.name in T.Model._meta:
             continue
         v = getattr(m, f.name)
         if v is not None:
@@ -77,7 +77,7 @@ def load_model(path: str, dtype=np.float32):
             arr = arr.astype(dtype)
         kw[k] = jnp.asarray(arr)
     for f in dataclasses.fields(T.Model):
-        if f.name != "meta" and f.name not in kw:
+        if f.name not in T.Model._meta and f.name not in kw:
             kw[f.name] = None
     return T.Model(meta=meta, **kw), extra
 

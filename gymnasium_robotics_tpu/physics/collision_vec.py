@@ -517,6 +517,71 @@ def _point_hull_depth(x_l, fn, fd, support=None):
     return best, n_l
 
 
+def _rot_many(R, v, transpose=False):
+    """Rotate MANY vectors by per-(k,B) rotations with pure broadcast
+    mul-adds (no dot_general: a 3-wide contraction makes XLA relayout the
+    lane axis): R (3,3,k,B), v (V,3,k,B) -> (V,3,k,B)."""
+    rows = []
+    for i in range(3):
+        a, b, c = (R[:, i] if transpose else R[i])
+        rows.append(a[None] * v[:, 0] + b[None] * v[:, 1] + c[None] * v[:, 2])
+    return jnp.stack(rows, axis=1)
+
+
+def _hull_world_verts(p, R, hv):
+    """World-space hull verts: p (3,k,B), R (3,3,k,B), hv (V,3,k,1)
+    -> (V,3,k,B). ~12 broadcast ops instead of a V-long op chain (op count
+    is the cost driver on the tunneled TPU runtime)."""
+    hv3 = hv[..., 0]                                    # (V,3,k)
+    rows = []
+    for i in range(3):
+        acc = (
+            R[i, 0][None] * hv3[:, 0, :, None]
+            + R[i, 1][None] * hv3[:, 1, :, None]
+            + R[i, 2][None] * hv3[:, 2, :, None]
+        )
+        rows.append(p[i][None] + acc)
+    return jnp.stack(rows, axis=1)
+
+
+def _points_hull_depth_max(xl, fn, fd, chunk=16):
+    """Deepest-face signed distance for MANY points at once: xl (V,3,k,B)
+    points in the hull frame, fn (F,3,k,1), fd (F,k,1) -> (V,k,B).
+    Face-chunked running max keeps the (V,C,k,B) intermediate bounded."""
+    fn3 = fn[..., 0]                                    # (F,3,k)
+    F = fn3.shape[0]
+    x0, x1, x2 = xl[:, 0, :, :], xl[:, 1, :, :], xl[:, 2, :, :]  # (V,k,B)
+    best = None
+    for f0 in range(0, F, chunk):
+        fc = fn3[f0:f0 + chunk]                         # (C,3,k)
+        dc = (
+            x0[:, None] * fc[None, :, 0, :, None]
+            + x1[:, None] * fc[None, :, 1, :, None]
+            + x2[:, None] * fc[None, :, 2, :, None]
+            + fd[f0:f0 + chunk][None]
+        )                                               # (V,C,k,B)
+        mc = jnp.max(dc, axis=1)
+        best = mc if best is None else jnp.maximum(best, mc)
+    return best
+
+
+def _verts_world_vs_hull(w, ph, Rh, fn, fd, sign, m_out):
+    """Deepest m_out contacts of world points w (V,3,k,B) against a hull at
+    (ph, Rh): returns (dist (m,k,B), pos (m,3,k,B), n (m,3,k,B)) with
+    n = sign * hull outward normal (vectorized rewrite of the per-vert
+    _point_hull_depth loops; identical formulas)."""
+    xl = _rot_many(Rh, w - ph[None], transpose=True)
+    best = _points_hull_depth_max(xl, fn, fd)           # (V,k,B)
+    d_m, (w_m, xl_m) = _take_smallest(best, [w, xl], m_out)
+    ns = []
+    for i in range(m_out):
+        _, n_l = _point_hull_depth(xl_m[i], fn, fd)
+        ns.append(sign * _matvec(Rh, n_l))
+    n = jnp.stack(ns)
+    pos = w_m - 0.5 * d_m[:, None] * n
+    return d_m, pos, n
+
+
 def _sphere_hull_probe(c, r, p2, R2, fn, fd, support=None):
     """One contact of a sphere (center c, radius r) against a hull posed at
     (p2, R2); returns (dist, pos, n) with n from the sphere into the hull."""
@@ -593,66 +658,63 @@ def _make_plane_hull(hull_verts):
     def f(p1, R1, s1, p2, R2, s2):
         n = _col(R1, 2)
         pn = _dot(p1, n)
-        V = hv.shape[0]
-        dists, poss = [], []
-        for v in range(V):
-            w = p2 + _matvec(R2, hv[v])
-            d = _dot(w, n) - pn
-            dists.append(d)
-            poss.append(w - 0.5 * d[None] * n)
-        d4, (c4,) = _take_smallest(jnp.stack(dists), [jnp.stack(poss)], 4)
+        w = _hull_world_verts(p2, R2, hv)               # (V,3,k,B)
+        d = jnp.sum(w * n[None], axis=1) - pn[None]     # (V,k,B)
+        d4, (c4,) = _take_smallest(d, [w], 4)
+        pos = c4 - 0.5 * d4[:, None] * n[None]
         nrm = jnp.broadcast_to(n[None], (4,) + n.shape)
-        return d4, c4, nrm
+        return d4, pos, nrm
 
     return f
 
 
-def _make_box_hull(hull):
+def _make_box_hull(hull, use_mpr=False):
     """Box (g1) vs hull (g2): box corners vs hull halfspaces (4 deepest,
     positive distances tracked) + hull verts vs box faces (4 deepest,
-    penetrating only) — the box-box manifold generalized."""
+    penetrating only) — the box-box manifold generalized. With use_mpr the
+    deepest corner slot is upgraded by MPR when it confirms a deeper
+    penetration (edge-edge witness features the vertex/face probes miss —
+    the in-hand block-on-finger-edge case)."""
     (fn, fd), hv = hull
 
     def f(p1, R1, s1, p2, R2, s2):
-        # A: box corners against the hull
-        dists, poss, nrms = [], [], []
-        for c in range(8):
-            sgn = _CORNER_SIGNS[c]
-            off = _vec(sgn[0] * s1[0], sgn[1] * s1[1], sgn[2] * s1[2])
-            off = jnp.broadcast_to(off, (3,) + p1.shape[1:])
-            cw = p1 + _matvec(R1, off)
-            c_l = _matTvec(R2, cw - p2)
-            best, n_l = _point_hull_depth(c_l, fn, fd)
-            n_w = _matvec(R2, n_l)
-            n = -n_w  # from box into hull
-            dists.append(best)
-            poss.append(cw - 0.5 * best[None] * n)
-            nrms.append(n)
-        dA, (pA, nA) = _take_smallest(
-            jnp.stack(dists), [jnp.stack(poss), jnp.stack(nrms)], 4
-        )
+        # A: box corners against the hull (corner cloud -> world -> deepest 4)
+        corners = _CORNER_SIGNS[:, :, None, None] * s1[None]  # (8,3,k,Bm)
+        cw = jnp.stack([
+            p1[i][None]
+            + R1[i, 0][None] * corners[:, 0]
+            + R1[i, 1][None] * corners[:, 1]
+            + R1[i, 2][None] * corners[:, 2]
+            for i in range(3)
+        ], axis=1)                                            # (8,3,k,B)
+        dA, pA, nA = _verts_world_vs_hull(cw, p2, R2, fn, fd, -1.0, 4)
         # B: hull verts inside the box (penetrating only, as box-box)
-        s1b = None
-        dists, poss, nrms = [], [], []
-        V = hv.shape[0]
-        for v in range(V):
-            w = p2 + _matvec(R2, hv[v])
-            loc = _matTvec(R1, w - p1)
-            s1b = jnp.broadcast_to(s1, loc.shape) if s1b is None else s1b
-            face_dist = s1b - jnp.abs(loc)
-            pen = jnp.min(face_dist, axis=0)
-            kk = jnp.argmin(face_dist, axis=0)
-            iota3 = jax.lax.broadcasted_iota(jnp.int32, loc.shape, 0)
-            onehot = (iota3 == kk[None]).astype(loc.dtype)
-            sgn = jnp.sign(jnp.sum(loc * onehot, axis=0))
-            n_w = _matvec(R1, onehot * sgn[None])  # box outward = g1 -> g2
-            dist = jnp.where(pen > 0, -pen, _BIG)
-            dists.append(dist)
-            poss.append(w)
-            nrms.append(n_w)
-        dB, (pB, nB) = _take_smallest(
-            jnp.stack(dists), [jnp.stack(poss), jnp.stack(nrms)], 4
-        )
+        w = _hull_world_verts(p2, R2, hv)                     # (V,3,k,B)
+        loc = _rot_many(R1, w - p1[None], transpose=True)
+        s1b = jnp.broadcast_to(s1[None], loc.shape)
+        face_dist = s1b - jnp.abs(loc)                        # (V,3,k,B)
+        pen = jnp.min(face_dist, axis=1)                      # (V,k,B)
+        kk = jnp.argmin(face_dist, axis=1)
+        iota3 = jax.lax.broadcasted_iota(jnp.int32, loc.shape, 1)
+        onehot = (iota3 == kk[:, None]).astype(loc.dtype)
+        sgn = jnp.sign(jnp.sum(loc * onehot, axis=1))         # (V,k,B)
+        n_w = _rot_many(R1, onehot * sgn[:, None])  # box outward = g1 -> g2
+        dB0 = jnp.where(pen > 0, -pen, _BIG)
+        dB, (pB, nB) = _take_smallest(dB0, [w, n_w], 4)
+        if use_mpr:
+            from gymnasium_robotics_tpu.physics import mpr as _mpr
+
+            corners = jnp.stack(
+                [_CORNER_SIGNS[c][:, None, None] * s1 for c in range(8)]
+            )                                           # (8, 3, k, Bm)
+            dep, n_m, pos_m, okm = _mpr.penetration(
+                p1, R1, corners, p2, R2, hv
+            )
+            dm = -dep
+            use = okm & (dm < dA[0])
+            dA = dA.at[0].set(jnp.where(use, dm, dA[0]))
+            pA = pA.at[0].set(jnp.where(use[None], pos_m, pA[0]))
+            nA = nA.at[0].set(jnp.where(use[None], n_m, nA[0]))
         return (
             jnp.concatenate([dA, dB]),
             jnp.concatenate([pA, pB]),
@@ -662,31 +724,29 @@ def _make_box_hull(hull):
     return f
 
 
-def _make_hull_hull(hull1, hull2):
+def _make_hull_hull(hull1, hull2, use_mpr=False):
     """Hull-hull: each hull's verts against the other's halfspaces, 2 deepest
-    per direction."""
+    per direction; with use_mpr the deepest slot is upgraded by MPR when it
+    confirms a deeper penetration (edge-edge features face-SAT misses)."""
     (fn1, fd1), hv1 = hull1
     (fn2, fd2), hv2 = hull2
 
-    def verts_vs_hull(pv, Rv, hv, ph, Rh, fn, fd, sign):
-        dists, poss, nrms = [], [], []
-        for v in range(hv.shape[0]):
-            w = pv + _matvec(Rv, hv[v])
-            x_l = _matTvec(Rh, w - ph)
-            best, n_l = _point_hull_depth(x_l, fn, fd)
-            n_w = _matvec(Rh, n_l)
-            dists.append(best)
-            poss.append(w - 0.5 * best[None] * (sign * n_w))
-            nrms.append(sign * n_w)
-        return _take_smallest(
-            jnp.stack(dists), [jnp.stack(poss), jnp.stack(nrms)], 2
-        )
-
     def f(p1, R1, s1, p2, R2, s2):
         # verts of hull1 in hull2: hull2 outward normal points 2 -> 1, flip
-        dA, (pA, nA) = verts_vs_hull(p1, R1, hv1, p2, R2, fn2, fd2, -1.0)
+        w1 = _hull_world_verts(p1, R1, hv1)
+        dA, pA, nA = _verts_world_vs_hull(w1, p2, R2, fn2, fd2, -1.0, 2)
         # verts of hull2 in hull1: hull1 outward normal points 1 -> 2
-        dB, (pB, nB) = verts_vs_hull(p2, R2, hv2, p1, R1, fn1, fd1, 1.0)
+        w2 = _hull_world_verts(p2, R2, hv2)
+        dB, pB, nB = _verts_world_vs_hull(w2, p1, R1, fn1, fd1, 1.0, 2)
+        if use_mpr:
+            from gymnasium_robotics_tpu.physics import mpr as _mpr
+
+            dep, n_m, pos_m, okm = _mpr.penetration(p1, R1, hv1, p2, R2, hv2)
+            dm = -dep
+            use = okm & (dm < dA[0])
+            dA = dA.at[0].set(jnp.where(use, dm, dA[0]))
+            pA = pA.at[0].set(jnp.where(use[None], pos_m, pA[0]))
+            nA = nA.at[0].set(jnp.where(use[None], n_m, nA[0]))
         return (
             jnp.concatenate([dA, dB]),
             jnp.concatenate([pA, pB]),
@@ -738,7 +798,19 @@ def _contact_frame_soa(n, t1):
 # ---------------------------------------------------------------------------
 
 
-def _mesh_group_fn(t1, hull1, hull2):
+def use_mpr_xla(mt: T.Meta) -> bool:
+    """Gate for the XLA-op MPR upgrade (mirrors Option.soa's policy, inverted
+    backend sense): MPR as plain jnp ops costs ~1k HLO ops per hull group —
+    free on CPU, prohibitive on the tunneled TPU runtime where each op has
+    fixed overhead; the TPU path gets MPR inside the pallas narrowphase
+    kernel instead."""
+    v = getattr(mt.opt, "mpr", "auto")
+    return v is True or v == "force" or (
+        v == "auto" and jax.default_backend() != "tpu"
+    )
+
+
+def _mesh_group_fn(t1, hull1, hull2, use_mpr=False):
     """Narrowphase fn for a (t1, MESH) group given hull operand arrays
     (traced or static; trailing dims broadcast against the pair data)."""
     if t1 == T.PLANE:
@@ -750,9 +822,9 @@ def _mesh_group_fn(t1, hull1, hull2):
     if t1 == T.ELLIPSOID:
         return _make_ellipsoid_hull(hull2[0])
     if t1 == T.BOX:
-        return _make_box_hull(hull2)
+        return _make_box_hull(hull2, use_mpr=use_mpr)
     if t1 == T.MESH:
-        return _make_hull_hull(hull1, hull2)
+        return _make_hull_hull(hull1, hull2, use_mpr=use_mpr)
     return None
 
 
@@ -866,10 +938,15 @@ def _make_narrowphase_core(meta: T.Meta):
                 elif t1 == T.ELLIPSOID:
                     fn = _make_ellipsoid_hull(hf2)
                 elif t1 == T.BOX:
-                    fn = _make_box_hull((hf2, hv2))
+                    fn = _make_box_hull(
+                        (hf2, hv2), use_mpr=use_mpr_xla(meta)
+                    )
                 elif t1 == T.MESH:
                     hv1, hf1 = take_hull(g1s)
-                    fn = _make_hull_hull((hf1, hv1), (hf2, hv2))
+                    fn = _make_hull_hull(
+                        (hf1, hv1), (hf2, hv2),
+                        use_mpr=use_mpr_xla(meta),
+                    )
                 else:
                     fn = None
             else:
@@ -1014,7 +1091,9 @@ def _make_narrowphase_core_pruned(meta: T.Meta, plan):
                     (k * S, B),
                 )
             if t2 == T.MESH:
-                fn = _mesh_group_fn(t1, hull1, hull2)
+                fn = _mesh_group_fn(
+                    t1, hull1, hull2, use_mpr=use_mpr_xla(meta)
+                )
             else:
                 fn = _dispatch(t1, t2)
             Kg = g.K

@@ -207,6 +207,17 @@ def kinematics(m: T.Model, d: T.Data) -> T.Data:
     mt = m.meta
     dtype = d.qpos.dtype
     B = d.qpos.shape[-1]
+    fk = getattr(mt.opt, "fk_kernel", False)
+    use_kernel = fk is True or fk == "force" or (
+        fk == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_kernel:
+        from gymnasium_robotics_tpu.physics import kinematics_pallas as KP
+
+        if KP.supported(m, d):
+            return KP.kinematics(
+                m, d, interpret=jax.default_backend() != "tpu"
+            )
     plan = SV._plan(mt)
 
     xpos = jnp.zeros((mt.nbody, 3, B), dtype)
@@ -1230,15 +1241,37 @@ def build_rows(m: T.Model, d: T.Data):
                     axes.append(
                         jnp.einsum("kvcb,kcb->kvb", Jr, frame_s[:, 2])
                     )
-                for i in range(cd - 1):
-                    mui = mu_s[:, i]                          # (k, B|Bm)
-                    iwp = 2.0 * mui * mui * (1.0 + mui * mui) * iw_c
-                    for s in (1.0, -1.0):
-                        add_block(
-                            Jn + s * mui[:, None] * axes[i],
-                            pen, sr_s, si_s,
-                            jnp.broadcast_to(iwp, (k, B)), act_c, False,
-                        )
+                # one stacked expression for all 2*(cd-1) pyramid edges
+                # (row order [i+, i-, ...] blocks of k preserved — the decode
+                # layout and the AoS builder depend on it)
+                nfr = cd - 1
+                ax_st = jnp.stack(axes)                       # (nfr,k,nv,B)
+                mu_st = jnp.moveaxis(
+                    jnp.broadcast_to(mu_s[:, :nfr], (k, nfr, B)), 1, 0
+                )                                             # (nfr,k,B)
+                edge = mu_st[:, :, None] * ax_st
+                Jpy = jnp.stack([Jn[None] + edge, Jn[None] - edge], axis=1)
+                iwp = 2.0 * mu_st * mu_st * (1.0 + mu_st * mu_st) * iw_c
+                iw_py = jnp.broadcast_to(iwp[:, None], (nfr, 2, k, B))
+                R2k = 2 * nfr * k
+                add_block(
+                    Jpy.reshape(R2k, mt.nv, B),
+                    jnp.broadcast_to(
+                        jnp.broadcast_to(pen, (k, B))[None, None],
+                        (nfr, 2, k, B),
+                    ).reshape(R2k, B),
+                    jnp.broadcast_to(
+                        _bB(sr_s, B)[None, None], (nfr, 2, k, 2, B)
+                    ).reshape(R2k, 2, B),
+                    jnp.broadcast_to(
+                        _bB(si_s, B)[None, None], (nfr, 2, k, 5, B)
+                    ).reshape(R2k, 5, B),
+                    iw_py.reshape(R2k, B),
+                    jnp.broadcast_to(
+                        act_c[None, None], (nfr, 2, k, B)
+                    ).reshape(R2k, B),
+                    False,
+                )
 
     if not Js:
         z = jnp.zeros((0, B), dtype)
@@ -1670,12 +1703,36 @@ def step(m: T.Model, d: T.Data) -> T.Data:
 _HULL_FIELDS = ("hull_vert", "hull_face")
 
 
+_FK_FIELDS = (
+    "qpos0", "body_pos", "body_quat", "body_ipos", "body_iquat",
+    "jnt_pos", "jnt_axis", "geom_pos", "geom_quat", "site_pos", "site_quat",
+)
+
+
+def _fk_np_of(m: T.Model):
+    """Concrete host copies of the FK constants (for the pallas FK kernel's
+    compile-time unroll). Requires un-traced leaves; returns None when the
+    model reaches here as tracers (e.g. a vmapped/batched model)."""
+    if m.fk_np is not None:
+        return m.fk_np
+    tables = {}
+    for name in _FK_FIELDS:
+        v = getattr(m, name)
+        if v is None:
+            return None
+        try:
+            tables[name] = np.asarray(v)  # raises on traced leaves
+        except Exception:
+            return None
+    return T.FrozenNp(tables)
+
+
 def _model_to_soa(m: T.Model, mb) -> T.Model:
     """Append the broadcast batch axis to model leaves (Bm=1), or move a
     vmapped leaf's batch axis last (Bm=B). Hull tables stay unbatched."""
     repl = {}
     for fld in dataclasses.fields(T.Model):
-        if fld.name == "meta":
+        if fld.name in T.Model._meta:
             continue
         v = getattr(m, fld.name)
         if v is None:
@@ -1685,7 +1742,13 @@ def _model_to_soa(m: T.Model, mb) -> T.Model:
             repl[fld.name] = v[0] if batched else v
         else:
             repl[fld.name] = jnp.moveaxis(v, 0, -1) if batched else v[..., None]
-    return dataclasses.replace(m, **repl)
+    fk_batched = mb is not None and any(
+        bool(getattr(mb, name)) for name in _FK_FIELDS
+        if getattr(mb, name, None) is not None
+    )
+    return dataclasses.replace(
+        m, fk_np=None if fk_batched else _fk_np_of(m), **repl
+    )
 
 
 def _data_to_soa(d: T.Data, db, B: int) -> T.Data:

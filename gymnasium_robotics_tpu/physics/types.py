@@ -79,6 +79,20 @@ class Option:
     # runs with the env batch on the TPU lane axis. "auto" = on TPU only,
     # True/"force" = always (CPU testing), False = off
     soa: Any = "auto"
+    # Minkowski Portal Refinement upgrade for convex pairs (physics/mpr.py):
+    # recovers exact penetration depth/axis for edge-edge witness features
+    # the face-SAT narrowphase approximates (box-hull and hull-hull groups).
+    # The reference reaches the same algorithm family through MuJoCo's convex
+    # collider (libccd MPR) inside mj_step. "auto" = on for XLA backends where
+    # op count is cheap (CPU paths and tests); the TPU pallas narrowphase
+    # kernel carries its own in-kernel MPR. True/"force" = always, False = off.
+    mpr: Any = "auto"
+    # pallas FK kernel (physics/kinematics_pallas.py): bitwise-equal to the
+    # XLA tree pass; measured a wash inside the substep scan on the current
+    # stack (the XLA pass's true marginal cost is ~1 ms at B=2048 once the
+    # fixed per-dispatch overhead is subtracted), so default off until the
+    # in-scan A/B favors it. True/"force" = on, "auto" = TPU only.
+    fk_kernel: Any = False
     # disable flags
     disable_contact: bool = False
     disable_gravity: bool = False
@@ -188,12 +202,32 @@ class Meta:
     tendon_names: Tuple[str, ...] = ()
 
 
+class FrozenNp:
+    """Identity-hashed bundle of host numpy tables riding a pytree's STATIC
+    axis (meta_fields). Carries concrete model constants into code that only
+    sees traced Model leaves (the pallas FK kernel unrolls joint math with
+    these values embedded as immediates). Identity equality is correct here:
+    a Model instance's tables never mutate, and a fresh Model (new import)
+    should retrace anyway."""
+
+    __slots__ = ("tables",)
+
+    def __init__(self, tables: dict):
+        self.tables = tables
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+
 @_register
 @dataclasses.dataclass
 class Model:
     """Compiled model: static Meta + numeric device arrays."""
 
-    _meta = ("meta",)
+    _meta = ("meta", "fk_np")
     meta: Meta
 
     qpos0: Any
@@ -274,6 +308,12 @@ class Model:
     con_solref: Any = None        # (ncon, 2)
     con_solimp: Any = None        # (ncon, 5)
     con_includemargin: Any = None # (ncon,)
+
+    # STATIC (meta_fields) bundle of concrete host-numpy copies of the FK
+    # constants (body_pos/quat, jnt_pos/axis, qpos0, geom/site frames) for
+    # the pallas FK kernel; set by soa._model_to_soa from the un-traced
+    # model, None otherwise. Never serialized.
+    fk_np: Any = None
 
     @property
     def nq(self):
