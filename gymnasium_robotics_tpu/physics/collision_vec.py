@@ -802,8 +802,13 @@ def use_mpr_xla(mt: T.Meta) -> bool:
     """Gate for the XLA-op MPR upgrade (mirrors Option.soa's policy, inverted
     backend sense): MPR as plain jnp ops costs ~1k HLO ops per hull group —
     free on CPU, prohibitive on the tunneled TPU runtime where each op has
-    fixed overhead; the TPU path gets MPR inside the pallas narrowphase
-    kernel instead."""
+    fixed overhead. NOTE: with the default "auto" the TPU production path
+    therefore still uses the face-SAT approximation for box-hull/hull-hull
+    edge-edge features, i.e. contact physics differ slightly between CPU
+    (where the parity tests and drift guards run with MPR on) and TPU.
+    tests/test_physics_parity.py::test_mpr_off_drift_bound bounds that
+    divergence by re-running the drift guard with mpr=False. Force with
+    Option.mpr=True (runs the same jnp MPR on TPU, at a per-substep cost)."""
     v = getattr(mt.opt, "mpr", "auto")
     return v is True or v == "force" or (
         v == "auto" and jax.default_backend() != "tpu"

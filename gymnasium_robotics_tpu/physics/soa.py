@@ -842,15 +842,27 @@ def collision(m: T.Model, d: T.Data) -> T.Data:
     geom2 = jnp.asarray(g2s_np)
 
     if not mt.pairs or mt.opt.disable_contact:
+        if pruned:
+            # The custom_vmap boundary marks geom1/geom2 batched whenever
+            # src is present, so emit them (n_total, B) here too (gathered
+            # through src like the live branch; values are inert — every
+            # dist is _BIG).
+            src = jnp.zeros((n_total, B), jnp.int32)
+            geom1 = jnp.take(geom1, src)
+            geom2 = jnp.take(geom2, src)
+        else:
+            src = None
+            geom1 = geom1[:n_total]
+            geom2 = geom2[:n_total]
         contact = T.Contact(
             dist=jnp.full((n_total, B), _BIG, dtype),
             pos=jnp.zeros((n_total, 3, B), dtype),
             frame=jnp.broadcast_to(
                 jnp.eye(3, dtype=dtype)[None, :, :, None], (n_total, 3, 3, B)
             ),
-            geom1=geom1[:n_total],
-            geom2=geom2[:n_total],
-            src=jnp.zeros((n_total, B), jnp.int32) if pruned else None,
+            geom1=geom1,
+            geom2=geom2,
+            src=src,
         )
         return dataclasses.replace(d, contact=contact)
 

@@ -70,7 +70,11 @@ class Option:
     # Replaces MuJoCo's sweep-and-prune broadphase (mj_collision) with a
     # shape-static TPU equivalent. K is calibrated per family against
     # C-engine rollouts (tools/calibrate_topk.py): the selection is exact
-    # whenever <= K pairs per group are within margin simultaneously.
+    # when <= K pairs per group have world-AABB gap below margin
+    # simultaneously (the rank key is the AABB gap — a lower bound on
+    # geom distance — so overlapping-AABB-but-separated pairs count
+    # against K; that conservative criterion is what calibrate_topk.py
+    # measures).
     pair_topk: int = 0
     # fused pallas Newton solver for small systems (nv==2); "auto" enables it
     # on TPU backends only, True forces (interpret-mode on CPU), False = off
@@ -84,8 +88,11 @@ class Option:
     # the face-SAT narrowphase approximates (box-hull and hull-hull groups).
     # The reference reaches the same algorithm family through MuJoCo's convex
     # collider (libccd MPR) inside mj_step. "auto" = on for XLA backends where
-    # op count is cheap (CPU paths and tests); the TPU pallas narrowphase
-    # kernel carries its own in-kernel MPR. True/"force" = always, False = off.
+    # op count is cheap (CPU paths and tests) and OFF on TPU, where the
+    # production path keeps the face-SAT approximation (the divergence is
+    # bounded by tests/test_physics_parity.py::test_mpr_off_drift_bound).
+    # True/"force" = always (same jnp MPR on TPU, at a per-substep cost),
+    # False = off.
     mpr: Any = "auto"
     # pallas FK kernel (physics/kinematics_pallas.py): bitwise-equal to the
     # XLA tree pass; measured a wash inside the substep scan on the current

@@ -301,8 +301,10 @@ def render_frame(
         sub[win] = depth_t[win]
         img[y0[t]:y1[t] + 1, x0[t]:x1[t] + 1][win] = shade_col[t]
     if depth:
-        # OpenGL-style normalization against the scene extent (MuJoCo uses
-        # znear = 0.01 * extent, zfar = 50 * extent)
+        # OpenGL-style znear/zfar normalization. MuJoCo derives these from
+        # model.stat.extent; we use camera.distance as the extent proxy, so
+        # values are monotonically consistent with the reference renderer
+        # but not numerically identical.
         extent = max(float(camera.distance), 1e-3)
         znear, zfar = 0.01 * extent, 50.0 * extent
         z = np.clip(zbuf, znear, zfar)

@@ -468,3 +468,36 @@ def test_hull_edge_edge_matches_mujoco_mesh():
         assert abs(float(np.dot(n_ours, tn))) > 0.95, (n_ours, tn)
         checked += 1
     assert checked > 15
+
+
+def test_mpr_off_drift_bound():
+    """Bound the CPU<->TPU contact-physics divergence: the TPU production
+    path keeps Option.mpr off (face-SAT only — collision_vec.use_mpr_xla),
+    while CPU parity tests run with MPR on. Re-run a contact-rich in-hand
+    rollout both ways from the same state and require the face-SAT
+    trajectory to stay finite and within a documented bound of the MPR one,
+    so the approximation can't silently blow past what the drift guards
+    (tests/test_families.py::test_long_horizon_drift_guard) certify."""
+    from gymnasium_robotics_tpu import registry
+
+    env = registry.make("HandManipulateBlockRotateZ-v1")
+    m_on = env.model.with_options(mpr="force")
+    m_off = env.model.with_options(mpr=False)
+    s = env.initial(jax.random.key(0))
+    d0 = s.data
+    step_on = jax.jit(lambda d, c: pipeline.step_n_loop(m_on, d, c, 5))
+    step_off = jax.jit(lambda d, c: pipeline.step_n_loop(m_off, d, c, 5))
+    rng = np.random.default_rng(7)
+    d_on, d_off = d0, d0
+    for _ in range(10):
+        ctrl = jnp.asarray(
+            rng.uniform(-0.3, 0.3, env.model.meta.nu), jnp.float32
+        )
+        d_on = step_on(d_on, ctrl)
+        d_off = step_off(d_off, ctrl)
+    q_on = np.asarray(d_on.qpos)
+    q_off = np.asarray(d_off.qpos)
+    assert np.isfinite(q_off).all()
+    # hand joints (first 24 dofs) — the block free joint may diverge more
+    err = float(np.max(np.abs(q_on[:24] - q_off[:24])))
+    assert err < 0.1, f"face-SAT vs MPR hand-joint divergence {err}"
