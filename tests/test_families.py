@@ -361,3 +361,66 @@ def test_long_horizon_drift_guard(ref_id, our_id, nact, bound):
             assert qerr < bound, f"{our_id} drift {qerr} at step {i + 1}"
     assert np.isfinite(np.asarray(s.data.qpos)).all()
     assert worst > 0.0  # the comparison actually ran
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists("/root/reference"),
+    reason="reference checkout not mounted",
+)
+def test_kitchen_tracks_reference():
+    """Same start + same actions (obs noise off) => the reference MuJoCo
+    kitchen rollout and this engine agree over 10 env steps (400 substeps).
+    Guards the pair_topk/contact_cap pruning of the kitchen candidate table
+    (kitchen.py with_options) against the C engine's full broadphase. The C
+    engine is driven directly (the packaged env can't load: its asset tree
+    is missing wood1.png) with the reference's exact ctrl pipeline —
+    velocity-limit integration from the last qpos then position clipping
+    (reference franka_kitchen/franka_env.py:92-105,141-172) — and
+    mj_step(nstep=40) (robot_env.py:340-341)."""
+    import os
+    import shutil
+    import tempfile
+
+    mujoco = pytest.importorskip("mujoco")
+    src = "/root/reference/gymnasium_robotics/envs/assets/kitchen_franka"
+    tmp = tempfile.mkdtemp()
+    shutil.copytree(src, os.path.join(tmp, "kitchen_franka"))
+    tex = os.path.join(tmp, "kitchen_franka/kitchen_assets/textures")
+    if not os.path.exists(os.path.join(tex, "wood1.png")):
+        shutil.copy(
+            os.path.join(tex, "marble1.png"), os.path.join(tex, "wood1.png")
+        )
+    mr = mujoco.MjModel.from_xml_path(
+        os.path.join(tmp, "kitchen_franka/kitchen_assets/kitchen_env_model.xml")
+    )
+    dr = mujoco.MjData(mr)
+
+    env = registry.make(
+        "FrankaKitchen-v1", robot_noise_ratio=0.0, object_noise_ratio=0.0
+    )
+    s = env.initial(jax.random.key(0))
+    # with noise off the reset lands exactly on the reference init state
+    dr.qpos[:] = np.asarray(s.data.qpos, np.float64)
+    dr.qvel[:] = 0.0
+    mujoco.mj_forward(mr, dr)
+
+    pos_lo = np.asarray(env._pos_bound)[:9, 0]
+    pos_hi = np.asarray(env._pos_bound)[:9, 1]
+    vel_lo = np.asarray(env._vel_bound)[:9, 0]
+    vel_hi = np.asarray(env._vel_bound)[:9, 1]
+    dt = float(env.dt)
+
+    step = jax.jit(env.step)
+    rng = np.random.default_rng(11)
+    last_qpos = dr.qpos[:9].copy()
+    for _ in range(10):
+        a = rng.uniform(-0.4, 0.4, 9).astype(np.float32)
+        v = np.clip(np.clip(a, -1, 1) * 2.0, vel_lo, vel_hi)
+        dr.ctrl[:] = np.clip(last_qpos + v * dt, pos_lo, pos_hi)
+        mujoco.mj_step(mr, dr, nstep=40)
+        last_qpos = dr.qpos[:9].copy()
+        s = step(s, jnp.asarray(a))
+    q_ours = np.asarray(s.data.qpos)
+    assert np.isfinite(q_ours).all()
+    qerr = float(np.max(np.abs(q_ours - dr.qpos)))
+    assert qerr < 0.05, f"kitchen qpos drift {qerr}"
