@@ -53,6 +53,7 @@ class GymAdapter(gym.Env if gym else object):
         self._initial = jax.jit(env.initial)
         self._seed_counter = 0
         self._render_kin = None
+        self._viewer = None
         self._parity_reset = None
         self._parity_step = None
 
@@ -131,6 +132,9 @@ class GymAdapter(gym.Env if gym else object):
         limit = self.env.max_episode_steps
         if limit is not None and int(s.steps) >= limit:
             truncated = True
+        if self.render_mode == "human":
+            # reference robot_env.py renders every step under human mode
+            self.render()
         return (
             _cast_to_space(s.obs, self.observation_space),
             float(s.reward),
@@ -164,9 +168,24 @@ class GymAdapter(gym.Env if gym else object):
     def render(self):
         """rgb_array / depth_array frames from the host-side software
         renderer (the reference's MujocoRenderer analogue,
-        robot_env.py:282-290)."""
-        if self.render_mode not in ("rgb_array", "depth_array") \
-                or self._state is None:
+        robot_env.py:282-290); ``human`` displays the rgb frame in an
+        interactive window (render/viewer.py), returning None per the
+        gymnasium convention."""
+        if self.render_mode == "human":
+            frame = self._render_frame("rgb_array")
+            if frame is not None:
+                if self._viewer is None:
+                    from gymnasium_robotics_tpu.render.viewer import HumanViewer
+
+                    self._viewer = HumanViewer(
+                        fps=self.metadata.get("render_fps", 25)
+                    )
+                self._viewer.show(frame)
+            return None
+        return self._render_frame(self.render_mode)
+
+    def _render_frame(self, mode):
+        if mode not in ("rgb_array", "depth_array") or self._state is None:
             return None
         data = getattr(self._state, "data", None)
         model = getattr(self.env, "model", None)
@@ -193,11 +212,13 @@ class GymAdapter(gym.Env if gym else object):
         host = _jax.device_get((fresh.geom_xpos, fresh.geom_xmat))
         return R.render_frame(
             model, host[0], host[1], camera=cam,
-            depth=self.render_mode == "depth_array",
+            depth=mode == "depth_array",
         )
 
     def close(self):
-        pass
+        if self._viewer is not None:
+            self._viewer.close()
+            self._viewer = None
 
     @property
     def unwrapped(self):

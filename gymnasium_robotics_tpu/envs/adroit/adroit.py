@@ -29,7 +29,7 @@ from gymnasium_robotics_tpu.utils import rotations
 
 
 class AdroitEnv(core.FunctionalEnv):
-    metadata = {"render_modes": ["rgb_array", "depth_array"], "render_fps": 100}
+    metadata = {"render_modes": ["human", "rgb_array", "depth_array"], "render_fps": 100}
     task = "door"
     frame_skip = 5
     obs_dim = 39

@@ -49,7 +49,7 @@ def site_velr(m, d, site_id, body_id):
 
 
 class FetchEnv(core.GoalEnv):
-    metadata = {"render_modes": ["rgb_array", "depth_array"], "render_fps": 25}
+    metadata = {"render_modes": ["human", "rgb_array", "depth_array"], "render_fps": 25}
 
     task: str = "reach"
     has_object: bool = False

@@ -51,7 +51,7 @@ def _normalize(v):
 
 
 class HandBaseEnv(core.GoalEnv):
-    metadata = {"render_modes": ["rgb_array", "depth_array"], "render_fps": 25}
+    metadata = {"render_modes": ["human", "rgb_array", "depth_array"], "render_fps": 25}
     n_substeps = 20
     relative_control = False
 

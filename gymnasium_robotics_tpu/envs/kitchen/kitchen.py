@@ -43,7 +43,7 @@ BONUS_THRESH = 0.3
 
 
 class KitchenEnv(core.GoalEnv):
-    metadata = {"render_modes": ["rgb_array", "depth_array"], "render_fps": 12}
+    metadata = {"render_modes": ["human", "rgb_array", "depth_array"], "render_fps": 12}
     frame_skip = 40
 
     def __init__(

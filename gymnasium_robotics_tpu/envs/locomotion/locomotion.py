@@ -87,7 +87,7 @@ class LocomotionEnv(core.FunctionalEnv):
             -np.inf, np.inf, shape=(obs_dim,), dtype=np.float64
         )
         self.metadata = {
-            "render_modes": ["rgb_array", "depth_array"],
+            "render_modes": ["human", "rgb_array", "depth_array"],
             "render_fps": int(round(1.0 / self.dt)),
         }
 

@@ -66,7 +66,7 @@ def build_ant_maze_model(maze_map, size_scaling=4.0, height=0.5, dtype=np.float3
 
 
 class AntMazeEnv(core.GoalEnv):
-    metadata = {"render_modes": ["rgb_array", "depth_array"], "render_fps": 50}
+    metadata = {"render_modes": ["human", "rgb_array", "depth_array"], "render_fps": 50}
 
     def __init__(
         self,

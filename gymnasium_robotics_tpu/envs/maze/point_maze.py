@@ -22,7 +22,7 @@ from gymnasium_robotics_tpu.physics import pipeline
 
 
 class PointMazeEnv(core.GoalEnv):
-    metadata = {"render_modes": ["rgb_array", "depth_array"], "render_fps": 50}
+    metadata = {"render_modes": ["human", "rgb_array", "depth_array"], "render_fps": 50}
 
     def __init__(
         self,

@@ -230,3 +230,25 @@ def test_render_depth_array():
                 "HandReach-v0", "AntMaze_UMaze-v5", "HalfCheetah-v3"]:
         env = registry.make_gym(eid)
         assert "depth_array" in env.metadata["render_modes"], eid
+
+
+def test_render_human_mode():
+    """`human` mode renders every step through the HumanViewer (reference
+    robot_env.py renders in step under human mode) and returns None per the
+    gymnasium convention; headless (Agg backend) it degrades to buffering
+    the latest frame instead of raising."""
+    import matplotlib
+    import numpy as np
+
+    matplotlib.use("Agg", force=True)
+    from gymnasium_robotics_tpu import registry
+
+    env = registry.make_gym("PointMaze_UMaze-v3", render_mode="human")
+    assert "human" in env.metadata["render_modes"]
+    env.reset(seed=0)
+    assert env.render() is None
+    env.step(np.array([1.0, 0.0], np.float32))
+    viewer = env.unwrapped._viewer
+    assert viewer is not None and viewer.last_frame is not None
+    assert viewer.last_frame.shape == (480, 480, 3)
+    env.close()
