@@ -41,8 +41,14 @@ class AdroitEnv(core.FunctionalEnv):
         self.dtype = dtype
         npdtype = np.float64 if dtype == jnp.float64 else np.float32
         self.model, extra = serialize.load_asset(f"adroit/{self.task}", dtype=npdtype)
+        # pair_topk: C-engine rollouts (tools/calibrate_topk.py) show at most
+        # 7 near pairs per group for door/hammer/relocate (K=16 is >2x
+        # headroom; door's largest group is 60 pairs) and 15 for pen's
+        # 33-pair finger-pen group (K=24 keeps headroom there). Guarded by
+        # the adroit reference-tracking + long-horizon drift tests.
         self.model = self.model.with_options(
-            contact_cap=16, iterations=5, ls_iterations=4
+            contact_cap=16, iterations=5, ls_iterations=4,
+            pair_topk=24 if self.task == "pen" else 16,
         )
         # per-task reference viewpoint (adroit_door.py:23-26 and siblings)
         from gymnasium_robotics_tpu.render import renderer as _R

@@ -68,8 +68,13 @@ class FetchEnv(core.GoalEnv):
         self.dtype = dtype
         npdtype = np.float64 if dtype == jnp.float64 else np.float32
         self.model, extra = serialize.load_asset(f"fetch/{self.task}", dtype=npdtype)
+        # pair_topk=8: the fetch robot's 84-pair mesh-mesh self-collision
+        # group never has more than 2 near pairs in C-engine rollouts
+        # (tools/calibrate_topk.py; 4x headroom), so top-K compacts the
+        # 905-slot candidate table and skips most hull-hull face-SAT work.
+        # Guarded by the fetch reference-tracking tests.
         self.model = self.model.with_options(
-            contact_cap=24, iterations=4, ls_iterations=4
+            contact_cap=24, pair_topk=8, iterations=4, ls_iterations=4
         )
         self._init_qpos = jnp.asarray(extra["initial_qpos"], dtype)
         self._init_qvel = jnp.asarray(extra["initial_qvel"], dtype)

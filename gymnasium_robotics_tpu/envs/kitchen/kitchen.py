@@ -77,6 +77,9 @@ class KitchenEnv(core.GoalEnv):
         # count (~200 x nv=29) fits the fused-Newton VMEM gate
         # (constraint.solve_constraints) instead of the generic many-kernel
         # path. Guarded by the kitchen reference-tracking test.
+        # iterations=8: kitchen needs all 8 Newton iterations — at 5 the
+        # reference-tracking drift exceeds its bound (warmstart does not buy
+        # kitchen the halving it buys hand/adroit).
         self.model = self.model.with_options(
             contact_cap=8, pair_topk=8, iterations=8, ls_iterations=4
         )

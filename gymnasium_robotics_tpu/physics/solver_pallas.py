@@ -272,9 +272,13 @@ def _kernel_nv(nv: int, n_iter: int, n_ls: int,
             out = out + Jk[k] * a[k]
         return out
 
-    # warmstart from the previous substep's qacc (mj_warmstart semantics)
-    a = [a0_ref[i:i + 1, :] for i in range(nv)]
-    for _ in range(n_iter):
+    # warmstart from the previous substep's qacc (mj_warmstart semantics).
+    # The Newton and line-search loops are lax loops (not Python unrolls):
+    # Mosaic then compiles ONE body — at nv~29-36, n_iter 5-8 an unrolled
+    # kernel blows past a 25-minute compile while the looped one stays in
+    # the minutes range, at identical semantics (trip counts are static).
+    def newton_body(_, a_mat):
+        a = [a_mat[i:i + 1, :] for i in range(nv)]
         x = Jdot(a) - aref
         Dw = dw_of(x)
         gx = Dw * x
@@ -292,15 +296,20 @@ def _kernel_nv(nv: int, n_iter: int, n_ls: int,
         Mpv = Mmul(p)
         pMp = sum(p[i] * Mpv[i] for i in range(nv))
         pMa = sum(p[i] * Mda[i] for i in range(nv))
-        alpha = jnp.ones_like(pMp)
-        for _ls in range(n_ls):
+
+        def ls_body(_, alpha):
             x2 = x + alpha * Jp
             Dw2 = dw_of(x2)
             dphi = alpha * pMp + pMa + rsum(Dw2 * x2 * Jp)
             ddphi = pMp + rsum(Dw2 * Jp * Jp)
-            alpha = alpha - dphi / jnp.maximum(ddphi, 1e-12)
+            return alpha - dphi / jnp.maximum(ddphi, 1e-12)
+
+        alpha = jax.lax.fori_loop(0, n_ls, ls_body, jnp.ones_like(pMp))
         alpha = jnp.clip(alpha, 0.0, 4.0)
-        a = [a[i] + alpha * p[i] for i in range(nv)]
+        return jnp.concatenate([a[i] + alpha * p[i] for i in range(nv)], axis=0)
+
+    a_mat = jax.lax.fori_loop(0, n_iter, newton_body, a0_ref[...])
+    a = [a_mat[i:i + 1, :] for i in range(nv)]
 
     x = Jdot(a) - aref
     Dw = dw_of(x)
