@@ -283,7 +283,10 @@ class ParallelEnvAdapter:
     """PettingZoo ParallelEnv-compatible wrapper (numpy IO, shared reward),
     mirroring the reference exports (mujoco_multi.py:618-621)."""
 
-    metadata = {"render_modes": [], "name": "mamujoco_tpu"}
+    metadata = {
+        "render_modes": ["human", "rgb_array", "depth_array"],
+        "name": "mamujoco_tpu",
+    }
 
     def __init__(self, env: MultiAgentMujocoEnv, render_mode=None):
         self.env = env
@@ -294,6 +297,8 @@ class ParallelEnvAdapter:
         self._initial = jax.jit(env.initial)
         self._state = None
         self._steps = 0
+        self._render_kin = None
+        self._viewer = None
 
     def action_space(self, agent):
         return self.env.action_spaces[agent]
@@ -328,10 +333,44 @@ class ParallelEnvAdapter:
         return obs, rewards, terms, truncs, infos
 
     def render(self):
-        return None
+        """Renders the INNER single-agent scene (the reference delegates to
+        single_agent_env.render(), mujoco_multi.py:568-575) through the
+        software renderer; human mode displays via render/viewer.py."""
+        if self.render_mode is None or self._state is None:
+            return None
+        from gymnasium_robotics_tpu.physics import smooth
+        from gymnasium_robotics_tpu.render import renderer as R
+
+        inner = self.env.env  # MultiAgentMujocoEnv -> functional locomotion env
+        model = getattr(inner, "model", None)
+        if model is None:
+            return None
+        if self._render_kin is None:
+            self._render_kin = jax.jit(
+                lambda dd: smooth.kinematics(model, dd)
+            )
+        fresh = self._render_kin(self._state.data)
+        xpos, xmat = jax.device_get((fresh.geom_xpos, fresh.geom_xmat))
+        cam = getattr(inner, "camera_config", None) or R.FAMILY_CAMERAS.get(
+            "locomotion"
+        )
+        frame = R.render_frame(
+            model, xpos, xmat, camera=cam,
+            depth=self.render_mode == "depth_array",
+        )
+        if self.render_mode == "human":
+            if self._viewer is None:
+                from gymnasium_robotics_tpu.render.viewer import HumanViewer
+
+                self._viewer = HumanViewer()
+            self._viewer.show(frame)
+            return None
+        return frame
 
     def close(self):
-        pass
+        if self._viewer is not None:
+            self._viewer.close()
+            self._viewer = None
 
     @property
     def unwrapped(self):

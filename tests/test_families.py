@@ -424,3 +424,22 @@ def test_kitchen_tracks_reference():
     assert np.isfinite(q_ours).all()
     qerr = float(np.max(np.abs(q_ours - dr.qpos)))
     assert qerr < 0.05, f"kitchen qpos drift {qerr}"
+
+
+def test_mamujoco_render():
+    """MaMuJoCo ParallelEnv renders the inner single-agent scene (the
+    reference delegates to single_agent_env.render(),
+    multiagent_mujoco/mujoco_multi.py:568-575)."""
+    import matplotlib
+
+    matplotlib.use("Agg", force=True)
+    from gymnasium_robotics_tpu.envs.mamujoco import mujoco_multi as MM
+
+    env = MM.parallel_env(
+        scenario="HalfCheetah", agent_conf="2x3", render_mode="rgb_array"
+    )
+    env.reset(seed=0)
+    env.step({a: env.action_space(a).sample() for a in env.agents})
+    f = env.render()
+    assert f is not None and f.dtype == np.uint8 and f.shape[-1] == 3
+    assert len(np.unique(f.reshape(-1, 3), axis=0)) > 10
