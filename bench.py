@@ -47,6 +47,14 @@ BENCHES = [
     ("FrankaKitchen-v1", 512, 20, 12.5),
 ]
 
+# Batch-scaling curve (after the ladder, budget permitting): chip
+# utilization is the thesis — BENCH_DETAIL records how env-steps/s scales
+# with B for the contact-rich families (keys "<env> x<B>").
+SCALING = [
+    ("HandManipulateBlockRotateXYZ-v1", [2048, 4096], 15, 25.0),
+    ("FetchPush-v4", [4096, 8192], 15, 25.0),
+]
+
 _PROBE = r"""
 import jax, jax.numpy as jnp
 x = jnp.ones((256, 256))
@@ -206,6 +214,22 @@ def main():
             h.flush_detail()
             continue
         h.record(env_id, num_envs, sps, hz, time.perf_counter() - t0)
+
+    # Batch-scaling curve (VERDICT r2 #4): only with leftover budget.
+    for env_id, batches, steps, hz in SCALING:
+        for B in batches:
+            if remaining() < 180:
+                break
+            if cpu:
+                B = max(B // 16, 64)
+            t0 = time.perf_counter()
+            sps = bench_family(env_id, B, steps, timeout_s=min(480, remaining()))
+            key = f"{env_id} x{B}"
+            if sps is None:
+                h.detail[key] = {"error": "timeout or crash"}
+                h.flush_detail()
+                break  # larger batches of the same family won't fare better
+            h.record(env_id, B, sps, hz, time.perf_counter() - t0, key=key)
     # Re-print the headline so the LAST stdout line is the best flagship
     # number even after ladder families logged anything.
     h.print_headline()
