@@ -86,9 +86,13 @@ class AntMazeEnv(core.GoalEnv):
         self.model, self.maze = build_ant_maze_model(
             maze_map, size_scaling=4.0, height=0.5, dtype=npdtype
         )
-        # large static wall x leg pair table; at most ~16 simultaneous contacts
+        # large static wall x leg pair table; at most ~16 simultaneous
+        # contacts. pair_topk=8: the 216-pair wall-leg (box-capsule) group
+        # never exceeds 2 near pairs in reference-env rollouts (4x headroom;
+        # measured with the calibrate_topk near-count on AntMaze_UMaze-v5),
+        # so top-K compacts the candidate table ~20x.
         self.model = self.model.with_options(
-            contact_cap=16, iterations=5, ls_iterations=4
+            contact_cap=16, iterations=5, ls_iterations=4, pair_topk=8
         )
         # inner ant: v5 semantics include contact forces (ant_maze_v5.py:
         # 244-253); v3/v4 wrap gymnasium's ant_v4 with default kwargs, i.e.
