@@ -49,6 +49,7 @@ class AdroitEnv(core.FunctionalEnv):
         self.model = self.model.with_options(
             contact_cap=16, iterations=5, ls_iterations=4,
             pair_topk=24 if self.task == "pen" else 16,
+            need_cfrc_ext=False,
         )
         # per-task reference viewpoint (adroit_door.py:23-26 and siblings)
         from gymnasium_robotics_tpu.render import renderer as _R

@@ -74,7 +74,8 @@ class FetchEnv(core.GoalEnv):
         # 905-slot candidate table and skips most hull-hull face-SAT work.
         # Guarded by the fetch reference-tracking tests.
         self.model = self.model.with_options(
-            contact_cap=24, pair_topk=8, iterations=4, ls_iterations=4
+            contact_cap=24, pair_topk=8, iterations=4, ls_iterations=4,
+            need_cfrc_ext=False
         )
         self._init_qpos = jnp.asarray(extra["initial_qpos"], dtype)
         self._init_qvel = jnp.asarray(extra["initial_qvel"], dtype)

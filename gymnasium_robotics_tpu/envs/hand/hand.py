@@ -59,7 +59,8 @@ class HandBaseEnv(core.GoalEnv):
         npdtype = np.float64 if self.dtype == jnp.float64 else np.float32
         self.model, extra = serialize.load_asset(asset, dtype=npdtype)
         self.model = self.model.with_options(
-            contact_cap=16, iterations=5, ls_iterations=4
+            contact_cap=16, iterations=5, ls_iterations=4,
+            need_cfrc_ext=False,  # touch sensors read con_force, not cfrc_ext
         )
         self._extra = extra
         self._init_qpos = jnp.asarray(extra["initial_qpos"], self.dtype)

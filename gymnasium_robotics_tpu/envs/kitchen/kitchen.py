@@ -81,7 +81,8 @@ class KitchenEnv(core.GoalEnv):
         # reference-tracking drift exceeds its bound (warmstart does not buy
         # kitchen the halving it buys hand/adroit).
         self.model = self.model.with_options(
-            contact_cap=8, pair_topk=8, iterations=8, ls_iterations=4
+            contact_cap=8, pair_topk=8, iterations=8, ls_iterations=4,
+            need_cfrc_ext=False
         )
         self._init_qpos = jnp.asarray(extra["initial_qpos"], dtype)
         self._init_qvel = jnp.asarray(extra["initial_qvel"], dtype)

@@ -92,7 +92,9 @@ class AntMazeEnv(core.GoalEnv):
         # measured with the calibrate_topk near-count on AntMaze_UMaze-v5),
         # so top-K compacts the candidate table ~20x.
         self.model = self.model.with_options(
-            contact_cap=16, iterations=5, ls_iterations=4, pair_topk=8
+            contact_cap=16, iterations=5, ls_iterations=4, pair_topk=8,
+            # only v5 observes contact forces (ant_maze_v5.py:244-253)
+            need_cfrc_ext=version == "v5",
         )
         # inner ant: v5 semantics include contact forces (ant_maze_v5.py:
         # 244-253); v3/v4 wrap gymnasium's ant_v4 with default kwargs, i.e.

@@ -44,7 +44,9 @@ class PointMazeEnv(core.GoalEnv):
         # 2-dof ball with at most a handful of wall contacts: the Newton
         # solve converges in a few iterations; fewer sequential tiny kernels
         # per substep is the dominant TPU win for this family
-        self.model = self.model.with_options(iterations=6, ls_iterations=4)
+        self.model = self.model.with_options(
+            iterations=6, ls_iterations=4, need_cfrc_ext=False
+        )
         self.reward_type = reward_type
         self.continuing_task = continuing_task
         self.reset_target = reset_target

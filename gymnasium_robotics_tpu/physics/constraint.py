@@ -490,13 +490,14 @@ def solve_constraints(m: T.Model, d: T.Data) -> T.Data:
         )
 
     fused = mt.opt.fused_solver
-    # gate raised 24 -> 36 in round 2: warmstart halved the iteration count,
-    # keeping the unrolled kernel compilable at hand's nv=36. The J block
-    # (nv x ne x 128 lanes, double-buffered) must fit VMEM: n_rows*nv <= 10k
-    # admits post-cap hand (160 con rows + limits/tendons, nv=36 -> ~9.2k)
-    # and adroit door (~8.2k at nv=30) but keeps kitchen (668x29 = 19.4k at
-    # contact_cap=32) on the generic path.
-    use_fused = mt.nv <= 36 and n_rows * mt.nv <= 10000 and (
+    # nv gate raised 24 -> 36 in round 2 (warmstart halved iterations). The
+    # row gate tracks the kernel's VMEM envelope: the J block
+    # (nv x ne x 128 lanes, double-buffered) plus the looped Newton body's
+    # stack must fit the raised Mosaic scoped-VMEM limit
+    # (solver_pallas._tpu_params, 96 MB): n_rows*nv <= 36k covers hand
+    # (272x36 = 9.8k), adroit (~8.2k) and kitchen even at contact_cap=32
+    # (668x29 = 19.4k).
+    use_fused = mt.nv <= 36 and n_rows * mt.nv <= 36000 and (
         fused is True or fused == "force"
         or (fused == "auto" and jax.default_backend() == "tpu")
     )
@@ -630,6 +631,9 @@ def _decode_contact_forces(m: T.Model, d: T.Data, f, layout):
                 comp = mu[:, i] * (lam[i, 0] - lam[i, 1])
                 con_force = con_force.at[sel_c, 1 + i].set(comp)
             base += 2 * nf * k
+
+    if not getattr(mt.opt, "need_cfrc_ext", True):
+        return con_force, cfrc_ext
 
     # world-frame force/torque per slot
     frame = d.contact.frame  # (ncon, 3, 3) rows n,t1,t2

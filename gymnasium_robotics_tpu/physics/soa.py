@@ -1354,7 +1354,7 @@ def solve_constraints(m: T.Model, d: T.Data) -> T.Data:
     is_eq = jnp.broadcast_to(jnp.asarray(is_eq_np)[:, None], (n_rows, B))
 
     fused = mt.opt.fused_solver
-    use_fused = mt.nv <= 36 and n_rows * mt.nv <= 10000 and (
+    use_fused = mt.nv <= 36 and n_rows * mt.nv <= 36000 and (
         fused is True or fused == "force"
         or (fused == "auto" and jax.default_backend() == "tpu")
     )
@@ -1477,6 +1477,9 @@ def _decode_contact_forces(m: T.Model, d: T.Data, f, layout):
                     comp = mu[:, i] * (lam[i, 0] - lam[i, 1])
                     con_force = con_force.at[si, 1 + i].set(comp)
             base += 2 * nf * k
+
+    if not getattr(mt.opt, "need_cfrc_ext", True):
+        return con_force, cfrc_ext
 
     frame = d.contact.frame                                   # (ncon, 3, 3, B)
     F_w = jnp.einsum("ckb,ckjb->cjb", con_force[:, :3], frame)

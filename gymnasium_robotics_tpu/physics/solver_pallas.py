@@ -28,6 +28,17 @@ from jax.experimental import pallas as pl
 _LANES = 128
 
 
+def _tpu_params():
+    """Raise Mosaic's scoped-VMEM soft limit (default 16 MB; the v5e has
+    128 MB): the looped Newton kernel's J block + loop-body stack peaks at
+    ~20 MB for hand (nv=36, ne=272). None off-TPU (interpret mode)."""
+    if jax.default_backend() != "tpu":
+        return None
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+
+
 def _kernel(n_iter: int, n_ls: int,
             M3_ref, asm_ref, a0_ref, J0_ref, J1_ref, aref_ref, D_ref, act_ref,
             iseq_ref, qacc_ref, f_ref):
@@ -388,6 +399,7 @@ def _newton_lanes(M3, asmT, a0T, Jl, arefl, Dl, actl, iseql,
             jax.ShapeDtypeStruct((ne, Bp), dtype),
         ),
         interpret=interpret,
+        compiler_params=_tpu_params(),
     )(M3, asmT, a0T, Jl, arefl, Dl, actl, iseql)
 
 

@@ -100,6 +100,13 @@ class Option:
     # fixed per-dispatch overhead is subtracted), so default off until the
     # in-scan A/B favors it. True/"force" = on, "auto" = TPU only.
     fk_kernel: Any = False
+    # Compute per-body contact wrenches (Data.cfrc_ext, mj_rnePostConstraint
+    # analogue). Only locomotion observations/costs read them (Ant v5,
+    # Humanoid); the decode is two (ncon, B)-indexed scatter-adds — among
+    # the most expensive single ops on TPU — so contact-rich families that
+    # never read cfrc_ext turn this off (kitchen decode: ~14 ms -> ~2 ms at
+    # B=512). Data.cfrc_ext stays present (zeros) either way.
+    need_cfrc_ext: bool = True
     # disable flags
     disable_contact: bool = False
     disable_gravity: bool = False
