@@ -1059,6 +1059,47 @@ def _make_narrowphase_core_pruned(meta: T.Meta, plan):
             fd = jnp.transpose(hf[..., 3], (2, 0, 1))              # (F, K, B)
             return ((fn, fd), hvT)
 
+        # Merged top-K selection for ALL pruned groups: one rank chain over
+        # the concatenated pruned pairs + ONE padded lax.top_k, instead of a
+        # gap/rank/top_k chain per group (kitchen: 23 groups -> ~10x fewer
+        # selection ops per substep). Selection per group is IDENTICAL to
+        # the per-group formulation: each padded row holds one group's local
+        # pair ranks (+inf beyond its length; pruned groups have k > K so
+        # padding is never selected), and top_k's index tie-breaking sees
+        # the same local order.
+        pruned_groups = [g for g in plan.groups if g.pruned]
+        sel_by_group = {}
+        if pruned_groups:
+            Ksel = pruned_groups[0].K  # uniform: Option.pair_topk
+            maxk = max(len(g.idx) for g in pruned_groups)
+            g1_cat, g2_cat, rows, mask_rows = [], [], [], []
+            base_r = 0
+            for g in pruned_groups:
+                k = len(g.idx)
+                g1_cat += [meta.pairs[j][0] for j in g.idx]
+                g2_cat += [meta.pairs[j][1] for j in g.idx]
+                rows.append([base_r + min(i, k - 1) for i in range(maxk)])
+                mask_rows.append([i < k for i in range(maxk)])
+                base_r += k
+            i1c = jnp.asarray(np.array(g1_cat))
+            i2c = jnp.asarray(np.array(g2_cat))
+            gap_all = jnp.max(
+                jnp.abs(cw[i1c] - cw[i2c]) - hw[i1c] - hw[i2c], axis=1
+            )                                                     # (P, B)
+            rank_all = gap_all - _bb(gmarg[i1c] + gmarg[i2c], B)
+            rank_pad = rank_all[jnp.asarray(np.array(rows))]      # (G,maxk,B)
+            rank_pad = jnp.where(
+                jnp.asarray(np.array(mask_rows))[:, :, None], rank_pad,
+                jnp.asarray(np.inf, dtype),
+            )
+            _, order_all = jax.lax.top_k(
+                -jnp.moveaxis(rank_pad, 1, 2), Ksel
+            )                                                     # (G, B, K)
+            for gi, g in enumerate(pruned_groups):
+                sel_by_group[id(g)] = jnp.swapaxes(
+                    order_all[gi], 0, 1
+                ).astype(jnp.int32)                               # (K, B)
+
         all_d, all_p, all_n, all_t, all_src = [], [], [], [], []
         for g in plan.groups:
             t1, t2 = g.tp
@@ -1070,15 +1111,7 @@ def _make_narrowphase_core_pruned(meta: T.Meta, plan):
                 + np.arange(S)[None]
             )                                                      # (k, S)
             if g.pruned:
-                # AABB gap bound, ranked with margin: pairs that can never
-                # reach dist < margin are exact to drop.
-                i1, i2 = jnp.asarray(g1s), jnp.asarray(g2s)
-                gap = jnp.max(
-                    jnp.abs(cw[i1] - cw[i2]) - hw[i1] - hw[i2], axis=1
-                )                                                  # (k, B)
-                rank = gap - _bb(gmarg[i1] + gmarg[i2], B)
-                _, order = jax.lax.top_k(-jnp.swapaxes(rank, 0, 1), g.K)
-                sel = jnp.swapaxes(order, 0, 1).astype(jnp.int32)  # (K, B)
+                sel = sel_by_group[id(g)]                          # (K, B)
                 p1, R1, s1 = take_sel(g1s, sel)
                 p2, R2, s2 = take_sel(g2s, sel)
                 hull1 = take_hull_sel(g1s, sel) if t1 == T.MESH else None
