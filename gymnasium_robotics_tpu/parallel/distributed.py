@@ -45,11 +45,29 @@ def psum_metrics(tree, mesh, axis: str = "env"):
     non-divisible leaves are replicated (spec ``P()``) and mean-reduced
     locally — they are identical on every device, so the replicated mean IS
     the global mean (advisor finding r2: these previously raised at
-    ``device_put``)."""
-    from jax.experimental.shard_map import shard_map
+    ``device_put``).
+
+    Multi-process semantics: each process passes its HOST-LOCAL metrics
+    (the shard of the env batch this host stepped); leaves are assembled
+    into global arrays with ``host_local_array_to_global_array`` and the
+    returned value is the global mean, identical on every process
+    (verified by the 2-process loopback test in
+    ``tests/test_distributed_multiproc.py``)."""
+    from jax.experimental import multihost_utils
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    n = mesh.size
+    try:
+        from jax import shard_map
+        _shmap_kw = {"check_vma": False}
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+        _shmap_kw = {"check_rep": False}
+
+    multiproc = jax.process_count() > 1
+    # divisibility is judged on the axis a host actually holds: the local
+    # shard must split over this host's devices (multi-process) or the
+    # global batch over the whole mesh (single-process).
+    n = len(mesh.local_devices) if multiproc else mesh.size
 
     def spec_of(x):
         x = jnp.asarray(x)
@@ -57,14 +75,23 @@ def psum_metrics(tree, mesh, axis: str = "env"):
 
     tree = jax.tree_util.tree_map(jnp.asarray, tree)
     specs = jax.tree_util.tree_map(spec_of, tree)
-    tree = jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs
-    )
+    if multiproc:
+        tree = jax.tree_util.tree_map(
+            lambda x, s: multihost_utils.host_local_array_to_global_array(
+                np.asarray(x), mesh, s
+            ),
+            tree, specs,
+        )
+    else:
+        tree = jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            tree, specs,
+        )
 
     @jax.jit
     @functools.partial(
         shard_map, mesh=mesh, in_specs=(specs,), out_specs=P(),
-        check_rep=False,
+        **_shmap_kw,
     )
     def _reduce(t):
         # sharded leaves: local mean over the shard, then pmean across
