@@ -1031,8 +1031,24 @@ def _make_narrowphase_core_pruned(meta: T.Meta, plan):
             fd = hf[..., 3].T[..., None]                           # (F, k, 1)
             return ((fn, fd), hvT)
 
+        onehot = getattr(meta.opt, "gather_mode", "gather") == "onehot"
+
         def take_sel(gs_np, sel):
             gid = jnp.take(jnp.asarray(np.asarray(gs_np)), sel)    # (K, B)
+            if onehot:
+                # 0/1-weight contraction over the geom axis: exact (each
+                # output element is x*1 + 0s), and MXU-shaped on TPU where
+                # per-lane gathers serialize.
+                oh = jax.nn.one_hot(gid, meta.ngeom, dtype=dtype)  # (K,B,g)
+                p = jnp.einsum("kbg,gcb->ckb", oh, P)              # (3, K, B)
+                R = jnp.einsum("kbg,gijb->ijkb", oh, Rm)           # (3,3,K,B)
+                if sizes3.shape[-1] == 1:
+                    s = jnp.einsum(
+                        "kbg,gc->ckb", oh, sizes3[..., 0].astype(dtype)
+                    )
+                else:
+                    s = jnp.einsum("kbg,gcb->ckb", oh, sizes3.astype(dtype))
+                return p, R, s
             p = jnp.swapaxes(
                 jnp.take_along_axis(P, gid[:, None, :], axis=0), 0, 1
             )                                                      # (3, K, B)
@@ -1052,6 +1068,16 @@ def _make_narrowphase_core_pruned(meta: T.Meta, plan):
         def take_hull_sel(gs_np, sel):
             hid_np = np.array([meta.geom_hullid[g] for g in gs_np])
             hid = jnp.take(jnp.asarray(hid_np), sel)               # (K, B)
+            if onehot:
+                nh = hull_vert.shape[0]
+                oh = jax.nn.one_hot(hid, nh, dtype=dtype)          # (K,B,h)
+                hvT = jnp.einsum(
+                    "kbh,hvc->vckb", oh, hull_vert.astype(dtype)
+                )                                                  # (V,3,K,B)
+                hf = hull_face.astype(dtype)
+                fn = jnp.einsum("kbh,hfc->fckb", oh, hf[..., :3])  # (F,3,K,B)
+                fd = jnp.einsum("kbh,hf->fkb", oh, hf[..., 3])     # (F, K, B)
+                return ((fn, fd), hvT)
             hv = jnp.take(hull_vert, hid, axis=0).astype(dtype)    # (K,B,V,3)
             hvT = jnp.transpose(hv, (2, 3, 0, 1))                  # (V,3,K,B)
             hf = jnp.take(hull_face, hid, axis=0).astype(dtype)    # (K,B,F,4)

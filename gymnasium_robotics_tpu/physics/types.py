@@ -76,6 +76,12 @@ class Option:
     # against K; that conservative criterion is what calibrate_topk.py
     # measures).
     pair_topk: int = 0
+    # how the pruned narrowphase materializes per-lane selected geom state:
+    # "gather" = take/take_along_axis (per-lane dynamic-slice), "onehot" =
+    # one-hot matmul over the geom/hull table axis (runs on the MXU; TPU
+    # per-lane gathers can serialize — tools/tpu_gather_probe.py measures
+    # the crossover). Numerically identical (0/1 weights).
+    gather_mode: str = "gather"
     # fused pallas Newton solver for small systems (nv==2); "auto" enables it
     # on TPU backends only, True forces (interpret-mode on CPU), False = off
     fused_solver: str = "auto"

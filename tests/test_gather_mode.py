@@ -1,0 +1,27 @@
+"""Option.gather_mode="onehot" (MXU one-hot contraction in the pruned
+narrowphase, tools/tpu_gather_probe.py's pattern B) must be bitwise
+equivalent to the default per-lane gathers: the 0/1-weight contraction
+selects exactly one term per output element, so no rounding is involved.
+FetchPush exercises both take_sel (geom state) and take_hull_sel (mesh
+hull tables) under pair_topk=8."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gymnasium_robotics_tpu import registry
+
+
+def _rollout_qpos(mode):
+    env = registry.make("FetchPush-v4")
+    env.model = env.model.with_options(soa="force", gather_mode=mode)
+    B = 2
+    st = jax.jit(jax.vmap(env.initial))(jax.random.split(jax.random.key(0), B))
+    a = jnp.tile(jnp.asarray([0.3, -0.2, 0.1, 0.05], jnp.float32), (B, 1))
+    step = jax.jit(jax.vmap(env.step))
+    for _ in range(3):
+        st = step(st, a)
+    return np.asarray(st.data.qpos)
+
+
+def test_onehot_gather_bitwise_equal():
+    assert np.array_equal(_rollout_qpos("gather"), _rollout_qpos("onehot"))
