@@ -835,30 +835,49 @@ def _mesh_group_fn(t1, hull1, hull2, use_mpr=False):
 
 def _local_aabbs(meta, sizes3, hull_vert, dtype):
     """Per-geom local AABB (center (ngeom, 3, Bm), half (ngeom, 3, Bm)) for
-    the pair-topk bound. Plane rows are zeros (plane groups never prune)."""
-    ctrs, halfs = [], []
-    Bm = sizes3.shape[-1]
-    zero = jnp.zeros((3, Bm), dtype)
-    for g in range(meta.ngeom):
+    the pair-topk bound. Plane rows are zeros (plane groups never prune).
+
+    Vectorized over geoms: every primitive's half-extent is LINEAR in its
+    size components (sphere (s0,s0,s0), capsule (s0,s0,s0+s1), cylinder
+    (s0,s0,s1), box/ellipsoid s, plane 0), so one einsum with a static
+    per-geom coefficient matrix replaces the former per-geom Python loop
+    (~1000 tiny HLO ops at kitchen's ngeom=240 — measured ~4.9 ms of pure
+    op overhead per substep at B=512 on the tunneled TPU). Mesh rows take
+    hull bounds from the (padded) hull table exactly like the loop did."""
+    ng = meta.ngeom
+    coef = np.zeros((ng, 3, 3))
+    mesh_mask = np.zeros(ng, bool)
+    hullid = np.zeros(ng, np.int32)
+    for g in range(ng):
         t = meta.geom_type[g]
-        s = sizes3[g].astype(dtype)  # (3, Bm)
-        ctr = zero
         if t == T.MESH:
-            hv = hull_vert[meta.geom_hullid[g]].astype(dtype)  # (V, 3)
-            lo, hi = jnp.min(hv, axis=0), jnp.max(hv, axis=0)
-            ctr = jnp.broadcast_to(((lo + hi) * 0.5)[:, None], (3, Bm))
-            half = jnp.broadcast_to(((hi - lo) * 0.5)[:, None], (3, Bm))
+            mesh_mask[g] = True
+            hullid[g] = meta.geom_hullid[g]
         elif t == T.SPHERE:
-            half = jnp.stack([s[0], s[0], s[0]])
+            coef[g, :, 0] = 1.0
         elif t == T.CAPSULE:
-            half = jnp.stack([s[0], s[0], s[0] + s[1]])
+            coef[g, 0, 0] = coef[g, 1, 0] = coef[g, 2, 0] = 1.0
+            coef[g, 2, 1] = 1.0
         elif t == T.CYLINDER:
-            half = jnp.stack([s[0], s[0], s[1]])
-        else:  # box / ellipsoid / plane
-            half = s if t in (T.BOX, T.ELLIPSOID) else zero
-        ctrs.append(ctr)
-        halfs.append(half)
-    return jnp.stack(ctrs), jnp.stack(halfs)
+            coef[g, 0, 0] = coef[g, 1, 0] = 1.0
+            coef[g, 2, 1] = 1.0
+        elif t in (T.BOX, T.ELLIPSOID):
+            coef[g] = np.eye(3)
+        # plane: zeros
+    half = jnp.einsum(
+        "gij,gjb->gib", jnp.asarray(coef, dtype), sizes3.astype(dtype)
+    )                                                      # (ng, 3, Bm)
+    ctr = jnp.zeros_like(half)
+    if mesh_mask.any():
+        hv = hull_vert.astype(dtype)                       # (nh, V, 3)
+        lo, hi = jnp.min(hv, axis=1), jnp.max(hv, axis=1)  # (nh, 3)
+        idx = jnp.asarray(hullid)
+        ctr_h = ((lo + hi) * 0.5)[idx][..., None]          # (ng, 3, 1)
+        half_h = ((hi - lo) * 0.5)[idx][..., None]
+        mm = jnp.asarray(mesh_mask)[:, None, None]
+        ctr = jnp.where(mm, jnp.broadcast_to(ctr_h, ctr.shape), ctr)
+        half = jnp.where(mm, jnp.broadcast_to(half_h, half.shape), half)
+    return ctr, half
 
 
 @functools.lru_cache(maxsize=None)

@@ -27,11 +27,13 @@ def emit(**kw):
 def timeit(fn, *args, n=10, warmup=2):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    jax.block_until_ready(jax.tree_util.tree_leaves(out))
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    # block on EVERY leaf: blocking on the bare pytree object has produced
+    # ~100x-too-fast readings on the tunneled runtime (see CLAUDE.md r4)
+    jax.block_until_ready(jax.tree_util.tree_leaves(out))
     return (time.perf_counter() - t0) / n
 
 
