@@ -529,35 +529,45 @@ def _rot_many(R, v, transpose=False):
 
 
 def _hull_world_verts(p, R, hv):
-    """World-space hull verts: p (3,k,B), R (3,3,k,B), hv (V,3,k,1)
-    -> (V,3,k,B). ~12 broadcast ops instead of a V-long op chain (op count
-    is the cost driver on the tunneled TPU runtime)."""
-    hv3 = hv[..., 0]                                    # (V,3,k)
+    """World-space hull verts: p (3,k,B), R (3,3,k,B), hv (V,3,k,Bm) with
+    Bm in {1, B} -> (V,3,k,B). ~12 broadcast ops instead of a V-long op
+    chain (op count is the cost driver on the tunneled TPU runtime).
+    Bm == B is the pair-topk path (take_hull_sel gathers a possibly
+    DIFFERENT hull per lane): the vert components must keep their lane
+    axis — collapsing to lane 0 silently gave every env lane-0's hull
+    geometry (round-4 bug)."""
+    if hv.shape[-1] == 1:
+        hv3 = hv[..., 0]                                # (V,3,k)
+        c0, c1, c2 = (hv3[:, j, :, None] for j in range(3))
+    else:
+        c0, c1, c2 = (hv[:, j] for j in range(3))       # (V,k,B)
     rows = []
     for i in range(3):
-        acc = (
-            R[i, 0][None] * hv3[:, 0, :, None]
-            + R[i, 1][None] * hv3[:, 1, :, None]
-            + R[i, 2][None] * hv3[:, 2, :, None]
-        )
+        acc = R[i, 0][None] * c0 + R[i, 1][None] * c1 + R[i, 2][None] * c2
         rows.append(p[i][None] + acc)
     return jnp.stack(rows, axis=1)
 
 
 def _points_hull_depth_max(xl, fn, fd, chunk=16):
     """Deepest-face signed distance for MANY points at once: xl (V,3,k,B)
-    points in the hull frame, fn (F,3,k,1), fd (F,k,1) -> (V,k,B).
-    Face-chunked running max keeps the (V,C,k,B) intermediate bounded."""
-    fn3 = fn[..., 0]                                    # (F,3,k)
-    F = fn3.shape[0]
+    points in the hull frame, fn (F,3,k,Bm), fd (F,k,Bm), Bm in {1, B}
+    -> (V,k,B). Face-chunked running max keeps the (V,C,k,B) intermediate
+    bounded. Bm == B is the pair-topk path (per-lane hulls): the face
+    normals keep their lane axis — collapsing to lane 0 silently scored
+    every env against lane-0's hull faces (round-4 bug)."""
+    F = fn.shape[0]
+    static = fn.shape[-1] == 1
     x0, x1, x2 = xl[:, 0, :, :], xl[:, 1, :, :], xl[:, 2, :, :]  # (V,k,B)
     best = None
     for f0 in range(0, F, chunk):
-        fc = fn3[f0:f0 + chunk]                         # (C,3,k)
+        fc = fn[f0:f0 + chunk]                          # (C,3,k,Bm)
+        if static:
+            fc3 = fc[..., 0]                            # (C,3,k)
+            t0, t1, t2 = (fc3[None, :, j, :, None] for j in range(3))
+        else:
+            t0, t1, t2 = (fc[None, :, j] for j in range(3))  # (1,C,k,B)
         dc = (
-            x0[:, None] * fc[None, :, 0, :, None]
-            + x1[:, None] * fc[None, :, 1, :, None]
-            + x2[:, None] * fc[None, :, 2, :, None]
+            x0[:, None] * t0 + x1[:, None] * t1 + x2[:, None] * t2
             + fd[f0:f0 + chunk][None]
         )                                               # (V,C,k,B)
         mc = jnp.max(dc, axis=1)
