@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gymnasium_robotics_tpu.physics import narrowphase_pallas as NPK
 from gymnasium_robotics_tpu.physics import types as T
 
 _BIG = 1e10
@@ -187,7 +188,10 @@ def _plane_cylinder(p1, R1, s1, p2, R2, s2):
 def _sphere_sphere_at(c1, r1, c2, r2):
     dvec = c2 - c1
     nrm, d0 = _normalize(dvec, 1e-12)
-    zhat = jnp.zeros_like(nrm).at[2].set(1.0)
+    # stack-built unit vector: a static .at[].set is a scatter primitive,
+    # which Mosaic cannot lower inside the narrowphase megakernel
+    _z = jnp.zeros_like(nrm[0])
+    zhat = jnp.stack([_z, _z, _z + 1.0])
     n = _where_v(d0 > 1e-9, nrm, zhat)
     dist = d0 - r1 - r2
     pos = c1 + n * (r1 + 0.5 * dist)[None]
@@ -538,7 +542,9 @@ def _hull_world_verts(p, R, hv):
     geometry (round-4 bug)."""
     if hv.shape[-1] == 1:
         hv3 = hv[..., 0]                                # (V,3,k)
-        c0, c1, c2 = (hv3[:, j, :, None] for j in range(3))
+        # split the int index and the newaxis: the combined fancy index
+        # (hv3[:, j, :, None]) lowers to a >2D gather Mosaic rejects
+        c0, c1, c2 = (hv3[:, j][:, :, None] for j in range(3))
     else:
         c0, c1, c2 = (hv[:, j] for j in range(3))       # (V,k,B)
     rows = []
@@ -563,9 +569,11 @@ def _points_hull_depth_max(xl, fn, fd, chunk=16):
         fc = fn[f0:f0 + chunk]                          # (C,3,k,Bm)
         if static:
             fc3 = fc[..., 0]                            # (C,3,k)
-            t0, t1, t2 = (fc3[None, :, j, :, None] for j in range(3))
+            # int index split from the newaxes (the mixed fancy index
+            # lowers to a >2D gather Mosaic rejects)
+            t0, t1, t2 = (fc3[:, j][None, :, :, None] for j in range(3))
         else:
-            t0, t1, t2 = (fc[None, :, j] for j in range(3))  # (1,C,k,B)
+            t0, t1, t2 = (fc[:, j][None] for j in range(3))  # (1,C,k,B)
         dc = (
             x0[:, None] * t0 + x1[:, None] * t1 + x2[:, None] * t2
             + fd[f0:f0 + chunk][None]
@@ -689,7 +697,13 @@ def _make_box_hull(hull, use_mpr=False):
 
     def f(p1, R1, s1, p2, R2, s2):
         # A: box corners against the hull (corner cloud -> world -> deepest 4)
-        corners = _CORNER_SIGNS[:, :, None, None] * s1[None]  # (8,3,k,Bm)
+        # corner table via per-component SCALAR signs (a (8,3) array constant
+        # here would be captured by the pallas megakernel trace, which
+        # requires constants as inputs; scalar multiplies are exact)
+        corners = jnp.stack([
+            _vec(*(float(_CORNER_SIGNS[c][j]) * s1[j] for j in range(3)))
+            for c in range(8)
+        ])                                                    # (8,3,k,Bm)
         cw = jnp.stack([
             p1[i][None]
             + R1[i, 0][None] * corners[:, 0]
@@ -714,9 +728,10 @@ def _make_box_hull(hull, use_mpr=False):
         if use_mpr:
             from gymnasium_robotics_tpu.physics import mpr as _mpr
 
-            corners = jnp.stack(
-                [_CORNER_SIGNS[c][:, None, None] * s1 for c in range(8)]
-            )                                           # (8, 3, k, Bm)
+            corners = jnp.stack([
+                _vec(*(float(_CORNER_SIGNS[c][j]) * s1[j] for j in range(3)))
+                for c in range(8)
+            ])                                          # (8, 3, k, Bm)
             dep, n_m, pos_m, okm = _mpr.penetration(
                 p1, R1, corners, p2, R2, hv
             )
@@ -791,8 +806,12 @@ def _dispatch(t1, t2):
 def _contact_frame_soa(n, t1):
     """(normal, tan1, tan2) rows from normals (3, N, B) and optional explicit
     tan1 (mju_makeFrame convention; port of collision.py:366-383)."""
-    yhat = jnp.zeros_like(n).at[1].set(1.0)
-    zhat = jnp.zeros_like(n).at[2].set(1.0)
+    # stack-built unit vectors (a static .at[].set is a scatter primitive,
+    # which Mosaic cannot lower inside the narrowphase megakernel)
+    _z = jnp.zeros_like(n[0])
+    _o = _z + 1.0
+    yhat = jnp.stack([_z, _o, _z])
+    zhat = jnp.stack([_z, _z, _o])
     cand_y = yhat - n * n[1][None]
     cand_z = zhat - n * n[2][None]
     use_y = jnp.abs(n[1]) < 0.99
@@ -1143,17 +1162,32 @@ def _make_narrowphase_core_pruned(meta: T.Meta, plan):
             )                                                     # (P, B)
             rank_all = gap_all - _bb(gmarg[i1c] + gmarg[i2c], B)
             rank_pad = rank_all[jnp.asarray(np.array(rows))]      # (G,maxk,B)
-            rank_pad = jnp.where(
-                jnp.asarray(np.array(mask_rows))[:, :, None], rank_pad,
-                jnp.asarray(np.inf, dtype),
-            )
-            _, order_all = jax.lax.top_k(
-                -jnp.moveaxis(rank_pad, 1, 2), Ksel
-            )                                                     # (G, B, K)
-            for gi, g in enumerate(pruned_groups):
-                sel_by_group[id(g)] = jnp.swapaxes(
-                    order_all[gi], 0, 1
-                ).astype(jnp.int32)                               # (K, B)
+            if NPK.use_np_kernel(meta):
+                # pallas K-round argmin: identical selection (set AND
+                # first-index tie order) to the lane-axis top_k below,
+                # which alone cost 15.9 ms for kitchen's padded table
+                order_gkb = NPK.topk_select(
+                    rank_pad, np.array(mask_rows), Ksel,
+                    interpret=jax.default_backend() != "tpu",
+                )                                                 # (G, K, B)
+                for gi, g in enumerate(pruned_groups):
+                    sel_by_group[id(g)] = order_gkb[gi]           # (K, B)
+            else:
+                rank_pad = jnp.where(
+                    jnp.asarray(np.array(mask_rows))[:, :, None], rank_pad,
+                    jnp.asarray(np.inf, dtype),
+                )
+                _, order_all = jax.lax.top_k(
+                    -jnp.moveaxis(rank_pad, 1, 2), Ksel
+                )                                                 # (G, B, K)
+                for gi, g in enumerate(pruned_groups):
+                    sel_by_group[id(g)] = jnp.swapaxes(
+                        order_all[gi], 0, 1
+                    ).astype(jnp.int32)                           # (K, B)
+
+        use_kernel = NPK.use_np_kernel(meta)
+        k_specs, k_arrays = [], []
+        row_off = 0
 
         all_d, all_p, all_n, all_t, all_src = [], [], [], [], []
         for g in plan.groups:
@@ -1183,6 +1217,18 @@ def _make_narrowphase_core_pruned(meta: T.Meta, plan):
                     jnp.asarray(slot_ids.reshape(-1), jnp.int32)[:, None],
                     (k * S, B),
                 )
+            if use_kernel:
+                arrs = NPK.pack_group_arrays(
+                    t1, p1, R1, s1, p2, R2, s2, hull1, hull2
+                )
+                k_specs.append(NPK.GroupSpec(
+                    t1=t1, t2=t2, S=S, k=g.K, row_off=row_off,
+                    n_arrays=len(arrs), use_mpr=use_mpr_xla(meta),
+                ))
+                k_arrays += arrs
+                row_off += g.K * S
+                all_src.append(src)
+                continue
             if t2 == T.MESH:
                 fn = _mesh_group_fn(
                     t1, hull1, hull2, use_mpr=use_mpr_xla(meta)
@@ -1209,11 +1255,17 @@ def _make_narrowphase_core_pruned(meta: T.Meta, plan):
                 dst.append(jnp.moveaxis(arr, 2, 0).reshape(Kg * S, 3, B))
             all_src.append(src)
 
+        src = jnp.concatenate(all_src)
+        if use_kernel:
+            dist, pos, frame = NPK.narrowphase_megakernel(
+                tuple(k_specs), k_arrays, row_off, B, dtype,
+                interpret=jax.default_backend() != "tpu",
+            )
+            return dist, pos, frame, src
         dist = jnp.concatenate(all_d)                      # (ncon_c, B)
         pos = jnp.concatenate(all_p)
         normal = jnp.concatenate(all_n)
         tan1 = jnp.concatenate(all_t)
-        src = jnp.concatenate(all_src)
         n_soa = jnp.swapaxes(normal, 0, 1)
         t_soa = jnp.swapaxes(tan1, 0, 1)
         frame = _contact_frame_soa(n_soa, t_soa)
