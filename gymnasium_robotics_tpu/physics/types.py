@@ -76,13 +76,14 @@ class Option:
     # against K; that conservative criterion is what calibrate_topk.py
     # measures).
     pair_topk: int = 0
-    # one-dispatch pallas narrowphase megakernel (narrowphase_pallas.py):
-    # every candidate group's contact formula runs inside ONE pallas program
-    # per 128-lane block instead of ~30 separate XLA op chains (~2200
-    # dispatches for kitchen). "auto" = TPU only, "force" = always
-    # (interpret mode off-TPU, for tests), False = off. Applies to the
-    # pair-topk pruned core.
-    narrowphase_kernel: Any = False
+    # one-dispatch pallas narrowphase megakernel + K-round-argmin top-K
+    # selection (narrowphase_pallas.py): every candidate group's contact
+    # formula runs inside ONE pallas program per lane block instead of ~30
+    # separate XLA op chains, and the broadphase top-K avoids the lane-axis
+    # sort (kitchen B=512: 563 -> 716 env-steps/s). "auto" = TPU only,
+    # "force" = always (interpret mode off-TPU, for tests), False = off.
+    # Applies to the pair-topk pruned core.
+    narrowphase_kernel: Any = "auto"
     # how the pruned narrowphase materializes per-lane selected geom state:
     # "gather" = take/take_along_axis (per-lane dynamic-slice), "onehot" =
     # one-hot matmul over the geom/hull table axis (runs on the MXU; TPU
