@@ -207,7 +207,19 @@ def narrowphase_megakernel(
     pos (ncon_c, 3, B), frame (ncon_c, 3, 3, B)).
     """
     assert ncon_c == sum(s.k * s.S for s in specs)
+    # adaptive lane tile: all input/output blocks are resident (and double-
+    # buffered) per program — shrink the tile until they fit the scoped
+    # VMEM budget (B=1024 at tile=512 OOMed for kitchen's 225 operands)
+    per_lane = sum(
+        int(np.prod(a.shape[:-1])) * 4 for a in arrays if a.shape[-1] == B
+    ) + ncon_c * 13 * 4
+    static_b = sum(
+        int(np.prod(a.shape)) * 4 for a in arrays if a.shape[-1] != B
+    )
+    budget = 40 * 1024 * 1024
     tile = min(_TILE, -(-B // _LANES) * _LANES)
+    while tile > _LANES and per_lane * tile + static_b > budget:
+        tile //= 2
     Bp = -(-B // tile) * tile
     n_in = len(arrays)
 
