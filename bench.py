@@ -150,6 +150,18 @@ class Harness:
             "vs_10k_realtime": round(sps / (10_000 * hz), 4),
             "wall_s": round(wall_s, 1)}
         self.flush_detail()
+        # Per-family line ON STDOUT the moment it lands (VERDICT r4 #1): even
+        # an rc=124 tail then carries the whole ladder, not just the flagship.
+        print(json.dumps({
+            "metric": f"env_steps_per_s[{key or env_id} {self.platform}]",
+            "value": round(sps, 1),
+            "unit": "env-steps/s/chip",
+            "vs_baseline": round(sps / (10_000 * hz), 3)}), flush=True)
+        # Follow every family line with the current flagship headline so the
+        # LAST stdout line is always the flagship, even on a mid-ladder kill.
+        if self.headline is not None and (key or env_id) != (
+                f"{self.headline[0]} x{self.headline[1]}"):
+            self.print_headline()
 
     def run_flagship(self, num_envs, steps, timeout_s):
         env_id, hz = FLAGSHIP
@@ -168,7 +180,7 @@ class Harness:
 
 
 def main():
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", 2400))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 1500))
     start = time.perf_counter()
     h = Harness()
     h.print_headline()  # fallback line: never again "parsed: null"
@@ -208,17 +220,22 @@ def main():
             num_envs = max(num_envs // 16, 64)
         t0 = time.perf_counter()
         sps = bench_family(env_id, num_envs, steps,
-                           timeout_s=min(600, remaining()))
+                           timeout_s=min(420, remaining()))
         if sps is None:
             h.detail[env_id] = {"error": "timeout (compile service?)"}
             h.flush_detail()
             continue
         h.record(env_id, num_envs, sps, hz, time.perf_counter() - t0)
 
-    # Batch-scaling curve (VERDICT r2 #4): only with leftover budget.
+    # Ladder complete: pin the flagship headline on stdout BEFORE the
+    # optional scaling section, so a timeout inside SCALING still leaves a
+    # parsable best-flagship line near the tail.
+    h.print_headline()
+
+    # Batch-scaling curve (VERDICT r2 #4): only with generous leftover budget.
     for env_id, batches, steps, hz in SCALING:
         for B in batches:
-            if remaining() < 180:
+            if remaining() < 300:
                 break
             if cpu:
                 B = max(B // 16, 64)
