@@ -78,6 +78,18 @@ class FunctionalEnv:
     def step(self, state: EnvState, action) -> EnvState:
         raise NotImplementedError
 
+    def __reduce__(self):
+        # Envs made via registry.make pickle as their make() arguments and
+        # rebuild on load (reference EzPickle semantics: constructor-arg
+        # reconstruction, tests/test_envs.py:158-172). Directly-constructed
+        # envs fall back to default pickling.
+        spec = getattr(self, "_make_spec", None)
+        if spec is not None:
+            from gymnasium_robotics_tpu import registry
+
+            return (registry.remake, (spec,))
+        return super().__reduce__()
+
 
 class GoalEnv(FunctionalEnv):
     """Multi-goal API (reference gymnasium_robotics/core.py:8-115): obs is a

@@ -65,6 +65,14 @@ class GymAdapter(gym.Env if gym else object):
             seed = int(np.random.SeedSequence().entropy % (2 ** 31)) \
                 if self.np_random is None else int(self.np_random.integers(2 ** 31))
         self._options = options
+        # reference Adroit reset(options={'initial_state_dict': ...})
+        # (adroit_door.py:346-357): reset normally, then overwrite the state
+        # from the dict and recompute obs.
+        init_state_dict = None
+        if options and "initial_state_dict" in options:
+            options = {k: v for k, v in options.items()
+                       if k != "initial_state_dict"}
+            init_state_dict = self._options["initial_state_dict"]
         if self.parity:
             # reference-exact RNG parity: replicate the family's NumPy draw
             # order on the host and inject the values (utils/parity.py)
@@ -82,6 +90,8 @@ class GymAdapter(gym.Env if gym else object):
                 self._state = self._parity_reset(
                     base, jax.tree_util.tree_map(jnp.asarray, values)
                 )
+                if init_state_dict is not None:
+                    self.set_env_state(init_state_dict)
                 return (
                     _cast_to_space(self._state.obs, self.observation_space),
                     _to_np(self._state.info),
@@ -97,6 +107,8 @@ class GymAdapter(gym.Env if gym else object):
                 self._state = self._initial(jax.random.key(seed))
         else:
             self._state = self._initial(jax.random.key(seed))
+        if init_state_dict is not None:
+            self.set_env_state(init_state_dict)
         return (
             _cast_to_space(self._state.obs, self.observation_space),
             _to_np(self._state.info),
@@ -223,6 +235,17 @@ class GymAdapter(gym.Env if gym else object):
     @property
     def unwrapped(self):
         return self
+
+    def __reduce__(self):
+        # registry.make_gym envs pickle as their make args and reconstruct a
+        # data-equivalent env on load (reference EzPickle contract,
+        # tests/test_envs.py:158-172); live episode state is not carried.
+        spec = getattr(self, "_make_spec", None)
+        if spec is not None:
+            from gymnasium_robotics_tpu import registry
+
+            return (registry.remake, (spec,))
+        return super().__reduce__()
 
     # env-state checkpointing (analogue of Adroit get/set_env_state,
     # reference adroit_door.py:373-392; total for every family). Families

@@ -59,6 +59,17 @@ class BatchedEnv:
         s = self.state
         return s.obs, s.reward, s.terminated, s.truncated, s.info
 
+    def __reduce__(self):
+        # registry-made batched envs pickle as make() args (see
+        # core.FunctionalEnv.__reduce__); runtime device state is not carried
+        # (checkpoint it separately via parallel.checkpoint).
+        spec = getattr(self, "_make_spec", None)
+        if spec is not None:
+            from gymnasium_robotics_tpu import registry
+
+            return (registry.remake, (spec,))
+        return super().__reduce__()
+
     # --- pure-functional access (for scan-based rollouts / pjit) ---
     def init_state(self, rng) -> core.EnvState:
         return self._init(rng)

@@ -17,6 +17,14 @@ independently randomized object poses (vmapped settle), and each in-episode
 reset samples one pool entry — so new episodes start from diverse settled
 poses, matching the reference's per-reset re-randomization distribution
 (manipulate.py:154-224) without paying the settle per step.
+
+Pool-size/throughput trade-off: the pool is settled ONCE in ``initial()``
+(sequential ``lax.map`` over slots, ~200 substeps per slot per env instance),
+so steady-state step throughput is independent of ``reset_pool_size``; only
+initial-reset latency scales linearly with it (200 * pool_size substeps,
+i.e. pool 16 ~= the cost of 160 extra env-steps, once per rollout). Default
+16; raise it for long training runs where initial-pose diversity matters,
+lower it for latency-sensitive eval.
 """
 
 from __future__ import annotations
@@ -239,7 +247,7 @@ class HandManipulateEnv(HandBaseEnv):
         randomize_initial_position=True,
         relative_control=False,
         max_episode_steps=None,
-        reset_pool_size=4,
+        reset_pool_size=16,
         dtype=jnp.float32,
     ):
         self.reset_pool_size = int(reset_pool_size)

@@ -56,6 +56,8 @@ class MultiAgentMujocoEnv(core.FunctionalEnv):
         scenario: str,
         agent_conf: Optional[str],
         agent_obsk: Optional[int] = 1,
+        agent_factorization: Optional[dict] = None,
+        local_categories=None,
         global_categories=None,
         max_episode_steps=None,
         dtype=jnp.float32,
@@ -87,16 +89,37 @@ class MultiAgentMujocoEnv(core.FunctionalEnv):
         )
 
         if agent_obsk is not None:
-            parts, edges, globals_, nodes = obsk.get_parts_and_edges(
-                scenario, agent_conf
-            )
+            if agent_factorization is None:
+                parts, edges, globals_, nodes = obsk.get_parts_and_edges(
+                    scenario, agent_conf
+                )
+            else:
+                # User-defined factorization (reference mujoco_multi.py:136-139
+                # agent_factorization={'partition','edges','globals'}): node
+                # table rebuilt from the user's partition + globals.
+                parts = [tuple(p) for p in agent_factorization["partition"]]
+                edges = list(agent_factorization["edges"])
+                globals_ = list(agent_factorization["globals"])
+                nodes = {n.label: n for p in parts for n in p}
+                for g in globals_:
+                    nodes.setdefault(g.label, g)
             self.agent_partitions = parts
             self.k_dicts = [
                 obsk.get_joints_at_kdist(p, edges, agent_obsk, nodes)
                 for p in parts
             ]
             self.global_nodes = globals_
-            self.local_categories = obsk.local_categories_for(scenario, agent_obsk)
+            if local_categories is None:
+                self.local_categories = obsk.local_categories_for(
+                    scenario, agent_obsk
+                )
+            else:
+                # Per-depth category lists (reference mujoco_multi.py:155-158);
+                # pad with the deepest entry so any k is covered.
+                self.local_categories = [
+                    local_categories[k if k < len(local_categories) else -1]
+                    for k in range(agent_obsk + 1)
+                ]
             self.global_categories = (
                 global_categories
                 if global_categories is not None

@@ -43,9 +43,10 @@ def psum_metrics(tree, mesh, axis: str = "env"):
     reduction compiles to an XLA collective riding ICI/DCN — the global
     mean, not the local shard mean, even multi-host. Scalar (0-d) and
     non-divisible leaves are replicated (spec ``P()``) and mean-reduced
-    locally — they are identical on every device, so the replicated mean IS
-    the global mean (advisor finding r2: these previously raised at
-    ``device_put``).
+    locally; multi-process they are first allgathered across processes and
+    the process axis folded into the mean, so genuinely host-local values
+    (per-host counters) reduce to the true cross-host mean rather than
+    silently assuming replication (advisor findings r2, r4).
 
     Multi-process semantics: each process passes its HOST-LOCAL metrics
     (the shard of the env batch this host stepped); leaves are assembled
@@ -76,12 +77,19 @@ def psum_metrics(tree, mesh, axis: str = "env"):
     tree = jax.tree_util.tree_map(jnp.asarray, tree)
     specs = jax.tree_util.tree_map(spec_of, tree)
     if multiproc:
-        tree = jax.tree_util.tree_map(
-            lambda x, s: multihost_utils.host_local_array_to_global_array(
+        def assemble(x, s):
+            if s == P():
+                # Replicated leaves may be genuinely host-local (e.g. a
+                # per-host counter): allgather across processes and fold the
+                # process axis into the local mean instead of silently
+                # assuming every host passed identical values (ADVICE r4).
+                # If they ARE identical, the mean is unchanged.
+                return multihost_utils.process_allgather(np.asarray(x))
+            return multihost_utils.host_local_array_to_global_array(
                 np.asarray(x), mesh, s
-            ),
-            tree, specs,
-        )
+            )
+
+        tree = jax.tree_util.tree_map(assemble, tree, specs)
     else:
         tree = jax.tree_util.tree_map(
             lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),

@@ -1086,16 +1086,21 @@ def _make_narrowphase_core_pruned(meta: T.Meta, plan):
             if onehot:
                 # 0/1-weight contraction over the geom axis: exact (each
                 # output element is x*1 + 0s), and MXU-shaped on TPU where
-                # per-lane gathers serialize.
+                # per-lane gathers serialize. Precision pinned HIGHEST
+                # locally: exactness must not depend on the package-level
+                # jax_default_matmul_precision setting (ADVICE r4).
+                hi = jax.lax.Precision.HIGHEST
                 oh = jax.nn.one_hot(gid, meta.ngeom, dtype=dtype)  # (K,B,g)
-                p = jnp.einsum("kbg,gcb->ckb", oh, P)              # (3, K, B)
-                R = jnp.einsum("kbg,gijb->ijkb", oh, Rm)           # (3,3,K,B)
+                p = jnp.einsum("kbg,gcb->ckb", oh, P, precision=hi)
+                R = jnp.einsum("kbg,gijb->ijkb", oh, Rm, precision=hi)
                 if sizes3.shape[-1] == 1:
                     s = jnp.einsum(
-                        "kbg,gc->ckb", oh, sizes3[..., 0].astype(dtype)
+                        "kbg,gc->ckb", oh, sizes3[..., 0].astype(dtype),
+                        precision=hi,
                     )
                 else:
-                    s = jnp.einsum("kbg,gcb->ckb", oh, sizes3.astype(dtype))
+                    s = jnp.einsum("kbg,gcb->ckb", oh, sizes3.astype(dtype),
+                                   precision=hi)
                 return p, R, s
             p = jnp.swapaxes(
                 jnp.take_along_axis(P, gid[:, None, :], axis=0), 0, 1
@@ -1118,13 +1123,16 @@ def _make_narrowphase_core_pruned(meta: T.Meta, plan):
             hid = jnp.take(jnp.asarray(hid_np), sel)               # (K, B)
             if onehot:
                 nh = hull_vert.shape[0]
+                hi = jax.lax.Precision.HIGHEST  # exactness local, not global
                 oh = jax.nn.one_hot(hid, nh, dtype=dtype)          # (K,B,h)
                 hvT = jnp.einsum(
-                    "kbh,hvc->vckb", oh, hull_vert.astype(dtype)
+                    "kbh,hvc->vckb", oh, hull_vert.astype(dtype), precision=hi
                 )                                                  # (V,3,K,B)
                 hf = hull_face.astype(dtype)
-                fn = jnp.einsum("kbh,hfc->fckb", oh, hf[..., :3])  # (F,3,K,B)
-                fd = jnp.einsum("kbh,hf->fkb", oh, hf[..., 3])     # (F, K, B)
+                fn = jnp.einsum("kbh,hfc->fckb", oh, hf[..., :3],
+                                precision=hi)                      # (F,3,K,B)
+                fd = jnp.einsum("kbh,hf->fkb", oh, hf[..., 3],
+                                precision=hi)                      # (F, K, B)
                 return ((fn, fd), hvT)
             hv = jnp.take(hull_vert, hid, axis=0).astype(dtype)    # (K,B,V,3)
             hvT = jnp.transpose(hv, (2, 3, 0, 1))                  # (V,3,K,B)

@@ -120,11 +120,18 @@ def _emit_group(spec: GroupSpec, vals, lanes):
     fn = _group_fn(spec, hull1, hull2)
     dtype = p1.dtype
     if fn is None:
+        # Unsupported type pair: emit the SAME placeholder as the XLA branch
+        # (z normal + NaN tangent through _contact_frame_soa,
+        # collision_vec.py:1007-1013) so contact.frame is bitwise identical
+        # between paths even for inactive slots (ADVICE r4).
         dist = jnp.full((rows, lanes), _BIG, dtype)
         pos = jnp.zeros((rows, 3, lanes), dtype)
-        frame = jnp.broadcast_to(
-            jnp.eye(3, dtype=dtype)[None, :, :, None], (rows, 3, 3, lanes)
+        nn_r = jnp.zeros((rows, 3, lanes), dtype).at[:, 2].set(1.0)
+        tt_r = jnp.full((rows, 3, lanes), jnp.nan, dtype)
+        frame = CV._contact_frame_soa(
+            jnp.swapaxes(nn_r, 0, 1), jnp.swapaxes(tt_r, 0, 1)
         )
+        frame = jnp.moveaxis(frame, (0, 1, 2), (2, 1, 0))
         return dist, pos, frame
     res = fn(p1, R1, s1, p2, R2, s2)
     if len(res) == 4:

@@ -54,11 +54,14 @@ def make(id: str, num_envs: Optional[int] = None, **kwargs):
     env = s.entry_point(**kw)
     if s.max_episode_steps is not None and env.max_episode_steps is None:
         env.max_episode_steps = s.max_episode_steps
+    env._make_spec = ("fn", id, dict(kwargs))
     if num_envs is None:
         return env
     from gymnasium_robotics_tpu.envs.batched import BatchedEnv
 
-    return BatchedEnv(env, num_envs)
+    benv = BatchedEnv(env, num_envs)
+    benv._make_spec = ("batched", id, dict(kwargs), num_envs)
+    return benv
 
 
 def make_gym(id: str, parity: bool = False, render_mode=None, **kwargs):
@@ -68,7 +71,25 @@ def make_gym(id: str, parity: bool = False, render_mode=None, **kwargs):
     rollouts track the reference trajectory (utils/parity.py)."""
     from gymnasium_robotics_tpu.envs.adapters import GymAdapter
 
-    return GymAdapter(make(id, **kwargs), render_mode=render_mode, parity=parity)
+    env = GymAdapter(make(id, **kwargs), render_mode=render_mode, parity=parity)
+    env._make_spec = ("gym", id, dict(kwargs), parity, render_mode)
+    return env
+
+
+def remake(spec_tuple):
+    """Reconstruct an env from its ``_make_spec`` (the pickle path: envs made
+    through the registry pickle as their make() arguments and rebuild on
+    load, the analogue of the reference's EzPickle constructor-arg pickling,
+    reference core.py / tests/test_envs.py:158-172)."""
+    kind = spec_tuple[0]
+    if kind == "gym":
+        _, id, kwargs, parity, render_mode = spec_tuple
+        return make_gym(id, parity=parity, render_mode=render_mode, **kwargs)
+    if kind == "batched":
+        _, id, kwargs, num_envs = spec_tuple
+        return make(id, num_envs=num_envs, **kwargs)
+    _, id, kwargs = spec_tuple
+    return make(id, **kwargs)
 
 
 def ids():

@@ -52,12 +52,17 @@ local = {
     "success": np.full((8,), float(pid), np.float32),
     "scalar": np.float32(7.0),              # identical on both hosts
     "odd": np.arange(3, dtype=np.float32),  # non-divisible -> replicated
+    # genuinely HOST-LOCAL non-divisible leaf (per-host counter): must be
+    # mean-reduced ACROSS processes, not assumed replicated (ADVICE r4)
+    "odd_local": np.arange(3, dtype=np.float32) + 10.0 * pid,
 }
 out = distributed.psum_metrics(local, mesh)
 assert abs(out["reward"] - 53.5) < 1e-5, out   # mean of 0..7 and 100..107
 assert abs(out["success"] - 0.5) < 1e-6, out
 assert abs(out["scalar"] - 7.0) < 1e-6, out
 assert abs(out["odd"] - 1.0) < 1e-6, out
+# mean over {0,1,2} on host 0 and {10,11,12} on host 1 = 6.0
+assert abs(out["odd_local"] - 6.0) < 1e-6, out
 
 # --- trajectory egress: host-local rollout shards -> full global batch
 egress = distributed.gather_trajectory(

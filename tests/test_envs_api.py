@@ -252,3 +252,55 @@ def test_render_human_mode():
     assert viewer is not None and viewer.last_frame is not None
     assert viewer.last_frame.shape == (480, 480, 3)
     env.close()
+
+
+@pytest.mark.parametrize(
+    "env_id", ["PointMaze_UMaze-v3", "FetchReach-v4", "AdroitHandDoor-v1"]
+)
+def test_pickle_roundtrip_gym(env_id):
+    """Pickle -> unpickle -> identical seeded rollout (the reference EzPickles
+    every env and checks data-equivalent reconstruction,
+    tests/test_envs.py:158-172)."""
+    import pickle
+
+    env = registry.make_gym(env_id)
+    env2 = pickle.loads(pickle.dumps(env))
+    assert type(env2) is type(env)
+    assert env2.observation_space == env.observation_space
+    assert env2.action_space == env.action_space
+
+    def rollout(e):
+        obs, _ = e.reset(seed=7)
+        frames = [obs]
+        rng = np.random.default_rng(0)
+        for _ in range(5):
+            a = rng.uniform(-1, 1, e.action_space.shape).astype(np.float32)
+            obs, r, term, trunc, _ = e.step(a)
+            frames.append(obs)
+        return frames
+
+    for a, b in zip(rollout(env), rollout(env2)):
+        jax.tree_util.tree_map(np.testing.assert_array_equal, a, b)
+
+
+def test_pickle_roundtrip_functional_and_batched():
+    import pickle
+
+    env = registry.make("PointMaze_UMaze-v3")
+    env2 = pickle.loads(pickle.dumps(env))
+    s1 = jax.jit(env.initial)(jax.random.key(5))
+    s2 = jax.jit(env2.initial)(jax.random.key(5))
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x), np.asarray(y)),
+        s1.obs, s2.obs,
+    )
+
+    benv = registry.make("PointMaze_UMaze-v3", num_envs=4)
+    benv2 = pickle.loads(pickle.dumps(benv))
+    assert benv2.num_envs == 4
+    o1, _ = benv.reset(seed=3)
+    o2, _ = benv2.reset(seed=3)
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x), np.asarray(y)),
+        o1, o2,
+    )

@@ -92,6 +92,31 @@ def test_fetch_reach_tracks_reference():
     not __import__("os").path.exists("/root/reference"),
     reason="reference checkout not mounted",
 )
+def test_hand_reset_pool_diversity():
+    """Reset-pool diversity sanity vs the reference's per-reset
+    re-randomization (manipulate.py:154-224): pool slots hold pairwise
+    distinct settled object poses, and successive resets sample across them."""
+    import jax.numpy as jnp
+
+    env = registry.make("HandManipulateBlockRotateXYZ-v1", reset_pool_size=8)
+    assert env.reset_pool_size == 8
+    s = env.initial(jax.random.key(0))
+    pool = np.asarray(s.aux["pool_qpos"])  # (8, nq)
+    assert pool.shape[0] == 8
+    # object free-joint qpos (7 dof) pairwise distinct across slots
+    obj = pool[:, env._obj_qadr:env._obj_qadr + 7]
+    for i in range(8):
+        for j in range(i + 1, 8):
+            assert not np.allclose(obj[i], obj[j], atol=1e-6), (i, j)
+    # resets sample across the pool: 16 resets must visit >= 4 distinct poses
+    seen = set()
+    for k in range(16):
+        s2 = env.reset(s, jax.random.key(100 + k))
+        q = np.asarray(s2.data.qpos)[env._obj_qadr:env._obj_qadr + 3]
+        seen.add(tuple(np.round(q, 6)))
+    assert len(seen) >= 4, seen
+
+
 def test_hand_manipulate_tracks_reference():
     """Hand joints track the reference over 10 env steps (200 substeps) and
     the block stays on the palm at the reference's position (mm-level). Exact
@@ -155,6 +180,60 @@ def test_mamujoco_parallel_api():
     la = genv.map_global_action_to_local_actions(ga)
     ga2 = genv.map_local_actions_to_global_action(la)
     np.testing.assert_allclose(np.asarray(ga2), ga)
+
+
+def test_mamujoco_custom_factorization():
+    """User-defined agent_factorization + local_categories kwargs
+    (reference mujoco_multi.py:76-99,136-158): a custom 3-agent HalfCheetah
+    partition must drive agent count, action mapping, and obs shapes."""
+    from gymnasium_robotics_tpu import mamujoco_v1
+    from gymnasium_robotics_tpu.envs.mamujoco.obsk import HyperEdge, Node
+
+    names = ["bthigh", "bshin", "bfoot", "fthigh", "fshin", "ffoot"]
+    nodes = {n: Node(n, -6 + i, -6 + i, i) for i, n in enumerate(names)}
+    factorization = {
+        "partition": [
+            (nodes["bthigh"], nodes["bshin"]),
+            (nodes["bfoot"], nodes["fthigh"]),
+            (nodes["fshin"], nodes["ffoot"]),
+        ],
+        "edges": [
+            HyperEdge(("bfoot", "bshin")), HyperEdge(("bshin", "bthigh")),
+            HyperEdge(("bthigh", "fthigh")), HyperEdge(("fthigh", "fshin")),
+            HyperEdge(("fshin", "ffoot")),
+        ],
+        "globals": [Node("root_z", 1, 1, None), Node("root_y", 2, 2, None)],
+    }
+    penv = mamujoco_v1.parallel_env(
+        scenario="HalfCheetah", agent_conf="2x3", agent_obsk=0,
+        agent_factorization=factorization,
+        local_categories=[["qpos", "qvel"]],
+    )
+    obs, info = penv.reset(seed=0)
+    assert set(obs) == {"agent_0", "agent_1", "agent_2"}
+    # 2 own joints x (qpos+qvel) + globals (root_z/root_y qpos+qvel)
+    assert obs["agent_0"].shape == (8,)
+    assert penv.action_space("agent_0").shape == (2,)
+    acts = {a: penv.action_space(a).sample() for a in penv.agents}
+    obs, rew, term, trunc, infos = penv.step(acts)
+    assert rew["agent_0"] == rew["agent_2"]
+    # action mapping follows the user partition: agent_1 drives act ids (2, 3)
+    genv = penv.env
+    la = genv.map_global_action_to_local_actions(np.arange(6, dtype=np.float32))
+    np.testing.assert_allclose(np.asarray(la["agent_1"]), [2.0, 3.0])
+    ga = genv.map_local_actions_to_global_action(la)
+    np.testing.assert_allclose(np.asarray(ga), np.arange(6, dtype=np.float32))
+    # local_categories=[['qpos','qvel']] at obsk=1 pads depth 1 with the same
+    # entry: neighbours contribute qpos AND qvel (default would be qpos only).
+    penv2 = mamujoco_v1.parallel_env(
+        scenario="HalfCheetah", agent_conf=None, agent_obsk=1,
+        agent_factorization=factorization,
+        local_categories=[["qpos", "qvel"]],
+    )
+    obs2, _ = penv2.reset(seed=0)
+    # agent_0 sees 2 own + 2 neighbour joints (bfoot via bshin, fthigh via
+    # bthigh) x (qpos+qvel) + 4 globals = 12
+    assert obs2["agent_0"].shape == (12,)
 
 
 def test_mamujoco_coupled_half_cheetah():
@@ -424,6 +503,77 @@ def test_kitchen_tracks_reference():
     assert np.isfinite(q_ours).all()
     qerr = float(np.max(np.abs(q_ours - dr.qpos)))
     assert qerr < 0.05, f"kitchen qpos drift {qerr}"
+
+
+def test_kitchen_contact_cap_headroom():
+    """Active-contact high-water mark vs the kitchen contact_cap=8 (ADVICE
+    r4): drive the C engine through a long, contact-heavy rollout (large
+    random arm motions sweeping the counter/objects) one substep at a time
+    and count efc-active contacts per condim group. The per-group cap must
+    hold at the high-water mark, so the top-K truncation in
+    constraint.py:330-352 never silently drops an active contact."""
+    import os
+    import shutil
+    import tempfile
+
+    mujoco = pytest.importorskip("mujoco")
+    src = "/root/reference/gymnasium_robotics/envs/assets/kitchen_franka"
+    tmp = tempfile.mkdtemp()
+    shutil.copytree(src, os.path.join(tmp, "kitchen_franka"))
+    tex = os.path.join(tmp, "kitchen_franka/kitchen_assets/textures")
+    if not os.path.exists(os.path.join(tex, "wood1.png")):
+        shutil.copy(
+            os.path.join(tex, "marble1.png"), os.path.join(tex, "wood1.png")
+        )
+    mr = mujoco.MjModel.from_xml_path(
+        os.path.join(tmp, "kitchen_franka/kitchen_assets/kitchen_env_model.xml")
+    )
+    dr = mujoco.MjData(mr)
+
+    env = registry.make(
+        "FrankaKitchen-v1", robot_noise_ratio=0.0, object_noise_ratio=0.0
+    )
+    cap = env.model.opt.contact_cap
+    assert cap == 8
+    dr.qpos[:] = np.asarray(
+        env.initial(jax.random.key(0)).data.qpos, np.float64
+    )
+    dr.qvel[:] = 0.0
+    mujoco.mj_forward(mr, dr)
+
+    pos_lo = np.asarray(env._pos_bound)[:9, 0]
+    pos_hi = np.asarray(env._pos_bound)[:9, 1]
+    vel_lo = np.asarray(env._vel_bound)[:9, 0]
+    vel_hi = np.asarray(env._vel_bound)[:9, 1]
+    dt = float(env.dt)
+
+    high_water: dict = {}
+    rng = np.random.default_rng(5)
+    last_qpos = dr.qpos[:9].copy()
+    for t in range(60):
+        # full-range actions: sweeps the arm across the counter and objects
+        # (far more contact-rich than the tracking test's +-0.4 actions)
+        a = rng.uniform(-1.0, 1.0, 9)
+        v = np.clip(np.clip(a, -1, 1) * 2.0, vel_lo, vel_hi)
+        dr.ctrl[:] = np.clip(last_qpos + v * dt, pos_lo, pos_hi)
+        for _ in range(40):
+            mujoco.mj_step(mr, dr)
+            counts: dict = {}
+            for i in range(dr.ncon):
+                if dr.contact.efc_address[i] < 0:
+                    continue  # excluded (gap) contact: no efc rows
+                cd = int(dr.contact.dim[i])
+                counts[cd] = counts.get(cd, 0) + 1
+            for cd, n in counts.items():
+                high_water[cd] = max(high_water.get(cd, 0), n)
+        last_qpos = dr.qpos[:9].copy()
+    assert high_water, "rollout produced no active contacts"
+    for cd, n in sorted(high_water.items()):
+        assert n <= cap, (
+            f"condim {cd}: {n} active contacts exceeds contact_cap={cap}; "
+            f"raise the kitchen cap (kitchen.py) — truncation would drop "
+            f"live contacts. full high-water: {high_water}"
+        )
 
 
 def test_mamujoco_render():

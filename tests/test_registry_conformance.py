@@ -253,3 +253,31 @@ def test_adroit_env_state_roundtrip(env_id):
         np.asarray(jax.device_get(s.obs)),
         atol=1e-5,
     )
+
+
+@pytest.mark.parametrize("env_id", ["AdroitHandDoor-v1", "AdroitHandHammer-v2"])
+def test_adroit_reset_initial_state_dict(env_id):
+    """reset(options={'initial_state_dict': ...}) through the gym adapter
+    (reference adroit_door.py:346-357 / tests/envs/adroit_hand/
+    test_adroit_hammer.py:10-60): a saved env-state dict injected at reset
+    must reproduce the saved observation on a differently-seeded reset."""
+    env = registry.make_gym(env_id)
+    env.reset(seed=123)
+    for _ in range(3):
+        env.step(env.action_space.sample())
+    saved = env.get_env_state()
+    assert set(saved) >= {"qpos", "qvel"}
+    # reference baseline: obs after set_env_state (which runs mj_forward,
+    # i.e. fresh kinematics — unlike the one-substep-stale stepped obs)
+    env.set_env_state(saved)
+    obs = np.asarray(jax.device_get(env._state.obs))
+
+    obs2, _ = env.reset(seed=456, options={"initial_state_dict": saved})
+    np.testing.assert_allclose(obs2, obs, atol=1e-5)
+    restored = env.get_env_state()
+    np.testing.assert_allclose(restored["qpos"], saved["qpos"], atol=1e-6)
+    np.testing.assert_allclose(restored["qvel"], saved["qvel"], atol=1e-6)
+
+    # a plain differently-seeded reset must NOT reproduce it
+    obs3, _ = env.reset(seed=456)
+    assert not np.allclose(obs3, obs, atol=1e-5)
