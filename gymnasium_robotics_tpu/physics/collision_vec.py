@@ -827,21 +827,40 @@ def _contact_frame_soa(n, t1):
 # ---------------------------------------------------------------------------
 
 
+def use_onehot(mt: T.Meta) -> bool:
+    """Gate for one-hot MXU contractions replacing per-lane gathers in the
+    pruned narrowphase's take_sel/take_hull_sel. Exact either way (0/1
+    weights, einsums pinned to HIGHEST precision).
+
+    "auto" = TPU, and only while mesh groups route to XLA (the MPR hybrid,
+    use_mpr_xla): the r5 step matrix showed onehot is a win exactly then
+    (AntMaze 11,464 hybrid-onehot vs 10,110 kernel+gather; AdroitDoor 8,797
+    vs 7,716) but catastrophic when onehot hull tables feed the megakernel
+    (AntMaze 1,611; FetchPush 1,805 — layout copies into pallas), so if MPR
+    is explicitly disabled (hulls back inside the kernel) "auto" falls back
+    to plain gathers."""
+    v = getattr(mt.opt, "gather_mode", "auto")
+    if v == "onehot":
+        return True
+    if v != "auto":
+        return False
+    return jax.default_backend() == "tpu" and use_mpr_xla(mt)
+
+
 def use_mpr_xla(mt: T.Meta) -> bool:
-    """Gate for the XLA-op MPR upgrade (mirrors Option.soa's policy, inverted
-    backend sense): MPR as plain jnp ops costs ~1k HLO ops per hull group —
-    free on CPU, prohibitive on the tunneled TPU runtime where each op has
-    fixed overhead. NOTE: with the default "auto" the TPU production path
-    therefore still uses the face-SAT approximation for box-hull/hull-hull
-    edge-edge features, i.e. contact physics differ slightly between CPU
-    (where the parity tests and drift guards run with MPR on) and TPU.
-    tests/test_physics_parity.py::test_mpr_off_drift_bound bounds that
-    divergence by re-running the drift guard with mpr=False. Force with
-    Option.mpr=True (runs the same jnp MPR on TPU, at a per-substep cost)."""
+    """Gate for the XLA-op MPR upgrade. "auto" (default) = ON everywhere
+    since round 5: post-pair-topk the hull groups are tiny (K<=24 pairs) and
+    the r5 TPU step matrix measured MPR at ZERO throughput cost with the
+    hybrid routing (mesh groups run these XLA formulas while primitive
+    groups stay inside the narrowphase megakernel — Mosaic cannot lower
+    MPR's scatter-adds): FetchPush 3603 vs 3590 eps, AdroitDoor 8797 vs
+    7716, kitchen within noise. CPU and TPU therefore run the SAME contact
+    model (the reference's libccd-MPR analogue, mirroring mj_step's one
+    engine, gymnasium_robotics/envs/robot_env.py:340-341). Option.mpr=False
+    restores the face-SAT approximation
+    (tests/test_physics_parity.py::test_mpr_off_drift_bound bounds it)."""
     v = getattr(mt.opt, "mpr", "auto")
-    return v is True or v == "force" or (
-        v == "auto" and jax.default_backend() != "tpu"
-    )
+    return v is True or v == "force" or v == "auto"
 
 
 def _mesh_group_fn(t1, hull1, hull2, use_mpr=False):
@@ -1079,7 +1098,7 @@ def _make_narrowphase_core_pruned(meta: T.Meta, plan):
             fd = hf[..., 3].T[..., None]                           # (F, k, 1)
             return ((fn, fd), hvT)
 
-        onehot = getattr(meta.opt, "gather_mode", "gather") == "onehot"
+        onehot = use_onehot(meta)
 
         def take_sel(gs_np, sel):
             gid = jnp.take(jnp.asarray(np.asarray(gs_np)), sel)    # (K, B)
@@ -1196,6 +1215,8 @@ def _make_narrowphase_core_pruned(meta: T.Meta, plan):
         use_kernel = NPK.use_np_kernel(meta)
         k_specs, k_arrays = [], []
         row_off = 0
+        order = []       # ("k", kernel row offset, n) | ("x", xla row offset, n)
+        xla_rows = 0
 
         all_d, all_p, all_n, all_t, all_src = [], [], [], [], []
         for g in plan.groups:
@@ -1225,15 +1246,20 @@ def _make_narrowphase_core_pruned(meta: T.Meta, plan):
                     jnp.asarray(slot_ids.reshape(-1), jnp.int32)[:, None],
                     (k * S, B),
                 )
-            if use_kernel:
+            # hybrid routing: with Option.mpr forced on TPU, MESH groups run
+            # the XLA MPR formulas (Mosaic cannot lower MPR's scatter-adds)
+            # while every primitive group stays inside the megakernel.
+            group_mpr = t2 == T.MESH and use_mpr_xla(meta)
+            if use_kernel and not group_mpr:
                 arrs = NPK.pack_group_arrays(
                     t1, p1, R1, s1, p2, R2, s2, hull1, hull2
                 )
                 k_specs.append(NPK.GroupSpec(
                     t1=t1, t2=t2, S=S, k=g.K, row_off=row_off,
-                    n_arrays=len(arrs), use_mpr=use_mpr_xla(meta),
+                    n_arrays=len(arrs), use_mpr=False,
                 ))
                 k_arrays += arrs
+                order.append(("k", row_off, g.K * S))
                 row_off += g.K * S
                 all_src.append(src)
                 continue
@@ -1251,6 +1277,8 @@ def _make_narrowphase_core_pruned(meta: T.Meta, plan):
                 all_n.append(zero.at[:, 2].set(1.0))
                 all_t.append(jnp.full((Kg * S, 3, B), jnp.nan, dtype))
                 all_src.append(src)
+                order.append(("x", xla_rows, Kg * S))
+                xla_rows += Kg * S
                 continue
             res = fn(p1, R1, s1, p2, R2, s2)
             if len(res) == 4:
@@ -1262,14 +1290,32 @@ def _make_narrowphase_core_pruned(meta: T.Meta, plan):
             for arr, dst in ((pp, all_p), (nn, all_n), (tt, all_t)):
                 dst.append(jnp.moveaxis(arr, 2, 0).reshape(Kg * S, 3, B))
             all_src.append(src)
+            order.append(("x", xla_rows, Kg * S))
+            xla_rows += Kg * S
 
         src = jnp.concatenate(all_src)
-        if use_kernel:
-            dist, pos, frame = NPK.narrowphase_megakernel(
+        if use_kernel and k_specs:
+            kd, kp, kf = NPK.narrowphase_megakernel(
                 tuple(k_specs), k_arrays, row_off, B, dtype,
                 interpret=jax.default_backend() != "tpu",
             )
-            return dist, pos, frame, src
+            if not all_d:  # every group inside the kernel (the common path)
+                return kd, kp, kf, src
+            # hybrid (MPR-forced mesh groups ran in XLA): stitch the kernel
+            # block and the XLA block back into the original group order
+            xd = jnp.concatenate(all_d)
+            xp = jnp.concatenate(all_p)
+            xn = jnp.swapaxes(jnp.concatenate(all_n), 0, 1)
+            xt = jnp.swapaxes(jnp.concatenate(all_t), 0, 1)
+            xf = jnp.moveaxis(_contact_frame_soa(xn, xt), (0, 1, 2), (2, 1, 0))
+            ds, ps, fs = [], [], []
+            for tag, off, n in order:
+                blk = (kd, kp, kf) if tag == "k" else (xd, xp, xf)
+                ds.append(blk[0][off:off + n])
+                ps.append(blk[1][off:off + n])
+                fs.append(blk[2][off:off + n])
+            return (jnp.concatenate(ds), jnp.concatenate(ps),
+                    jnp.concatenate(fs), src)
         dist = jnp.concatenate(all_d)                      # (ncon_c, B)
         pos = jnp.concatenate(all_p)
         normal = jnp.concatenate(all_n)

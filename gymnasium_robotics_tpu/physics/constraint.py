@@ -614,6 +614,17 @@ def _decode_contact_forces(m: T.Model, d: T.Data, f, layout):
     cfrc_ext = jnp.zeros((mt.nbody, 6), dtype)
     if not ncon:
         return con_force, cfrc_ext
+    need_cf = getattr(mt.opt, "need_con_force", "auto")
+    if need_cf == "auto":
+        from gymnasium_robotics_tpu.physics import sensor as SEN
+
+        # decode only for its consumers (touch sensors / cfrc_ext); same
+        # gate as soa._decode_contact_forces so CPU == TPU semantics
+        need_cf = getattr(mt.opt, "need_cfrc_ext", True) or any(
+            t == SEN.SENS_TOUCH for t in mt.sensor_type
+        )
+    if not need_cf:
+        return con_force, cfrc_ext
     n_loop, con_layout = layout
     base = n_loop
     for cd, sel_c, sel in con_layout:

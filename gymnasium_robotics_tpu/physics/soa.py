@@ -955,6 +955,133 @@ def _jacs_traced(m, d, masks_np, point, bodies):
     return jacp * mk, cdof_r * mk
 
 
+def _concrete(x):
+    """numpy view of a model field when it is compile-time concrete (not a
+    tracer from per-env aux-rebinding, e.g. Adroit body_pos), else None."""
+    if isinstance(x, jax.core.Tracer):
+        return None
+    return np.asarray(x)
+
+
+class _SlotPack:
+    """All per-static-slot lookups of the traced contact path packed into
+    ONE int32 per slot + tiny unique-value tables.
+
+    The traced path (pair-topk / contact_cap) must gather body ids and
+    solref/solimp/friction/includemargin by per-lane slot id. On TPU each
+    per-lane gather over the static table serializes; but every one of these
+    tables has only a handful of distinct rows (<= 5 across all families),
+    so each slot reduces to (b1, b2, 4 small codes) packed in one word: one
+    int gather replaces ~7, and the values come back via one-hot einsums
+    over the tiny unique tables (MXU, exact 0/1 weights)."""
+
+    def __init__(self, m: T.Model, mt: T.Meta):
+        self.ok = False
+        self._nbody = mt.nbody
+        import os
+
+        if os.environ.get("GRT_NO_SLOTPACK"):  # perf A/B switch (tools/)
+            return
+        flds = [_concrete(m.con_solref), _concrete(m.con_solimp),
+                _concrete(m.con_friction), _concrete(m.con_includemargin)]
+        if any(f is None for f in flds):
+            return
+        sr, si, mu, mg = flds
+        # trailing aux batch lane: compile-time constant -> lane 0
+        if sr.ndim == 3:
+            sr = sr[..., 0]
+        if si.ndim == 3:
+            si = si[..., 0]
+        if mu.ndim == 3:
+            mu = mu[..., 0]
+        if mg.ndim == 2:
+            mg = mg[..., 0]
+        gb = mt.geom_bodyid
+        slot_geoms = CST._slot_geoms(mt)
+        b1s = np.array([gb[g1] for g1, _ in slot_geoms])
+        b2s = np.array([gb[g2] for _, g2 in slot_geoms])
+
+        def codes(a):
+            uniq, inv = np.unique(a, axis=0, return_inverse=True)
+            return uniq, inv.astype(np.int64)
+
+        self.sr_u, c_sr = codes(sr)
+        self.si_u, c_si = codes(si)
+        self.mu_u, c_mu = codes(mu)
+        self.mg_u, c_mg = codes(mg[:, None])
+        self.mg_u = self.mg_u[:, 0]
+
+        def width(n):
+            return max(int(n - 1).bit_length(), 1)
+
+        fields = [(b1s, width(mt.nbody)), (b2s, width(mt.nbody)),
+                  (c_sr, width(len(self.sr_u))),
+                  (c_si, width(len(self.si_u))),
+                  (c_mu, width(len(self.mu_u))),
+                  (c_mg, width(len(self.mg_u)))]
+        if sum(w for _, w in fields) > 31:
+            return  # exotic model: fall back to plain gathers
+        pack = np.zeros(len(b1s), np.int64)
+        self.offs, self.widths = [], []
+        off = 0
+        for vals, w in fields:
+            pack |= vals.astype(np.int64) << off
+            self.offs.append(off)
+            self.widths.append(w)
+            off += w
+        self.pack = pack.astype(np.int32)
+        self.ok = True
+
+    def field(self, pk, i):
+        return (pk >> self.offs[i]) & ((1 << self.widths[i]) - 1)
+
+    def unpack(self, pk, dtype):
+        """pk (k, B) packed words -> (ohb1, ohb2 (k, B, nbody), sr (k, 2, B),
+        si (k, 5, B), mu (k, 5, B), iw (k, B))."""
+        hi = jax.lax.Precision.HIGHEST
+        ohb1 = jax.nn.one_hot(self.field(pk, 0), self._nbody, dtype=dtype)
+        ohb2 = jax.nn.one_hot(self.field(pk, 1), self._nbody, dtype=dtype)
+        sr = jnp.einsum(
+            "kbu,uc->kcb",
+            jax.nn.one_hot(self.field(pk, 2), len(self.sr_u), dtype=dtype),
+            jnp.asarray(self.sr_u, dtype), precision=hi)
+        si = jnp.einsum(
+            "kbu,uc->kcb",
+            jax.nn.one_hot(self.field(pk, 3), len(self.si_u), dtype=dtype),
+            jnp.asarray(self.si_u, dtype), precision=hi)
+        mu = jnp.einsum(
+            "kbu,uc->kcb",
+            jax.nn.one_hot(self.field(pk, 4), len(self.mu_u), dtype=dtype),
+            jnp.asarray(self.mu_u, dtype), precision=hi)
+        return ohb1, ohb2, sr, si, mu
+
+    def margin(self, pk, dtype):
+        hi = jax.lax.Precision.HIGHEST
+        oh = jax.nn.one_hot(self.field(pk, 5), len(self.mg_u), dtype=dtype)
+        return jnp.einsum("rbu,u->rb", oh, jnp.asarray(self.mg_u, dtype),
+                          precision=hi)
+
+
+def _jacs_onehot(m, d, masks_np, point, ohb):
+    """(jacp, jacr) like _jacs_traced, but body selection via one-hot
+    einsums (ohb (k, B, nbody)) instead of per-lane gathers — exact."""
+    mt = m.meta
+    hi = jax.lax.Precision.HIGHEST
+    dtype = point.dtype
+    rc = d.subtree_com[jnp.asarray(np.array(mt.body_rootid))]  # (nbody,3,B)
+    o = jnp.einsum("kbn,ncb->kcb", ohb, rc, precision=hi)
+    off = point - o
+    k = ohb.shape[0]
+    cdof_r = jnp.broadcast_to(
+        d.cdof[None, :, :3], (k,) + d.cdof[:, :3].shape
+    )
+    jacp = d.cdof[None, :, 3:] + cross3(cdof_r, off[:, None])
+    mkv = jnp.einsum("kbn,nv->kvb", ohb, jnp.asarray(masks_np, dtype),
+                     precision=hi)
+    mk = mkv[:, :, None, :]                                   # (k, nv, 1, B)
+    return jacp * mk, cdof_r * mk
+
+
 def build_rows(m: T.Model, d: T.Data):
     """Assemble (J, aref, D, R, active, is_eq, layout) — all batch-last."""
     mt = m.meta
@@ -1162,7 +1289,19 @@ def build_rows(m: T.Model, d: T.Data):
         slot_geoms = CST._slot_geoms(mt)
         b1s_np = np.array([gb[g1] for g1, _ in slot_geoms])
         b2s_np = np.array([gb[g2] for _, g2 in slot_geoms])
-        if pruned:
+        sp = getattr(mt.opt, "slot_pack", "auto")
+        use_pack = sp is True or sp == "force" or (
+            sp == "auto" and jax.default_backend() == "tpu"
+        )
+        pk_tbl = _SlotPack(m, mt) if use_pack else None
+        if pk_tbl is not None and not pk_tbl.ok:
+            pk_tbl = None
+        packed_c = None
+        if pruned and pk_tbl is not None:
+            # ONE per-lane gather fetches every slot lookup at once
+            packed_c = jnp.take(jnp.asarray(pk_tbl.pack), c.src)  # (ncon, B)
+            pen_all = c.dist - pk_tbl.margin(packed_c, dtype)
+        elif pruned:
             pen_all = c.dist - jnp.take(m.con_includemargin[..., 0], c.src)
         else:
             pen_all = c.dist - m.con_includemargin            # (ncon, B)
@@ -1201,7 +1340,24 @@ def build_rows(m: T.Model, d: T.Data):
                 frame_s = c.frame[jnp.asarray(idx)]
                 pen = pen_all[jnp.asarray(idx)]
                 pen = jnp.broadcast_to(pen, (k, B))
-            if traced:
+            if traced and pk_tbl is not None:
+                # packed-word decode + one-hot einsums: no per-lane gathers
+                # beyond the single packed fetch (TPU; exact — see _SlotPack)
+                if packed_c is not None:
+                    pk = (jnp.take_along_axis(packed_c, sel_c, axis=0)
+                          if capped else packed_c[jnp.asarray(idx)])
+                else:
+                    pk = jnp.take(jnp.asarray(pk_tbl.pack), sel)
+                ohb1, ohb2, sr_s, si_s, mu_s = pk_tbl.unpack(pk, dtype)
+                hi_p = jax.lax.Precision.HIGHEST
+                bw = (biw_t[..., 0] if biw_t.ndim > 1 else biw_t).astype(dtype)
+                iw_c = (
+                    jnp.einsum("kbn,n->kb", ohb1, bw, precision=hi_p)
+                    + jnp.einsum("kbn,n->kb", ohb2, bw, precision=hi_p)
+                )
+                jp1, jr1 = _jacs_onehot(m, d, masks_np, pos_s, ohb1)
+                jp2, jr2 = _jacs_onehot(m, d, masks_np, pos_s, ohb2)
+            elif traced:
                 b1 = jnp.take(jnp.asarray(b1s_np), sel)       # (k, B)
                 b2 = jnp.take(jnp.asarray(b2s_np), sel)
                 iw_c = jnp.take(biw_t[..., 0], b1) + jnp.take(biw_t[..., 0], b2)
@@ -1441,6 +1597,19 @@ def _decode_contact_forces(m: T.Model, d: T.Data, f, layout):
     con_force = jnp.zeros((ncon, 6, B), dtype)
     cfrc_ext = jnp.zeros((mt.nbody, 6, B), dtype)
     if not ncon:
+        return con_force, cfrc_ext
+    need_cf = getattr(mt.opt, "need_con_force", "auto")
+    if need_cf == "auto":
+        from gymnasium_robotics_tpu.physics import sensor as SEN
+
+        # decode only when something consumes it: touch sensors (the sole
+        # in-pipeline reader) or the cfrc_ext aggregation below. Families
+        # without either (kitchen/fetch/adroit/maze) skip ~2 scatter chains
+        # per substep.
+        need_cf = getattr(mt.opt, "need_cfrc_ext", True) or any(
+            t == SEN.SENS_TOUCH for t in mt.sensor_type
+        )
+    if not need_cf:
         return con_force, cfrc_ext
     n_loop, con_layout = layout
     base = n_loop

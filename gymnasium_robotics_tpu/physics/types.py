@@ -88,8 +88,12 @@ class Option:
     # "gather" = take/take_along_axis (per-lane dynamic-slice), "onehot" =
     # one-hot matmul over the geom/hull table axis (runs on the MXU; TPU
     # per-lane gathers can serialize — tools/tpu_gather_probe.py measures
-    # the crossover). Numerically identical (0/1 weights).
-    gather_mode: str = "gather"
+    # the crossover). Numerically identical (0/1 weights, einsums pinned to
+    # HIGHEST precision). "auto" (default) = onehot on TPU while mesh groups
+    # route to XLA (the MPR hybrid — always, with mpr="auto"), since onehot
+    # hull tables feeding the megakernel is catastrophic (r5 matrix:
+    # AntMaze 6x slower); see collision_vec.use_onehot.
+    gather_mode: str = "auto"
     # fused pallas Newton solver for small systems (nv==2); "auto" enables it
     # on TPU backends only, True forces (interpret-mode on CPU), False = off
     fused_solver: str = "auto"
@@ -101,12 +105,11 @@ class Option:
     # recovers exact penetration depth/axis for edge-edge witness features
     # the face-SAT narrowphase approximates (box-hull and hull-hull groups).
     # The reference reaches the same algorithm family through MuJoCo's convex
-    # collider (libccd MPR) inside mj_step. "auto" = on for XLA backends where
-    # op count is cheap (CPU paths and tests) and OFF on TPU, where the
-    # production path keeps the face-SAT approximation (the divergence is
-    # bounded by tests/test_physics_parity.py::test_mpr_off_drift_bound).
-    # True/"force" = always (same jnp MPR on TPU, at a per-substep cost),
-    # False = off.
+    # collider (libccd MPR) inside mj_step. "auto" = ON everywhere (round 5):
+    # post-pair-topk hull groups are tiny and the TPU cost is zero with the
+    # hybrid megakernel routing (collision_vec.use_mpr_xla), so CPU and TPU
+    # run the SAME contact model. False = face-SAT approximation only
+    # (divergence bounded by test_mpr_off_drift_bound).
     mpr: Any = "auto"
     # pallas FK kernel (physics/kinematics_pallas.py): bitwise-equal to the
     # XLA tree pass; measured a wash inside the substep scan on the current
@@ -121,6 +124,16 @@ class Option:
     # never read cfrc_ext turn this off (kitchen decode: ~14 ms -> ~2 ms at
     # B=512). Data.cfrc_ext stays present (zeros) either way.
     need_cfrc_ext: bool = True
+    # contact-frame force decode (Data.con_force): "auto" computes it only
+    # when the model has touch sensors (their sole in-pipeline consumer,
+    # physics/sensor.py) or need_cfrc_ext is set; True forces it for users
+    # reading Data.con_force directly (mj_contactForce analogue).
+    need_con_force: Any = "auto"
+    # packed-slot decode in soa.build_rows' traced contact path: ONE int
+    # gather + one-hot unpack over tiny unique tables replaces ~7 per-lane
+    # gathers per condim group (see soa._SlotPack). "auto" = TPU only;
+    # orthogonal to gather_mode (which governs the narrowphase).
+    slot_pack: Any = "auto"
     # disable flags
     disable_contact: bool = False
     disable_gravity: bool = False

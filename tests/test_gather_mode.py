@@ -11,9 +11,11 @@ import numpy as np
 from gymnasium_robotics_tpu import registry
 
 
-def _rollout_qpos(mode):
+def _rollout_qpos(mode, slot_pack=False):
     env = registry.make("FetchPush-v4")
-    env.model = env.model.with_options(soa="force", gather_mode=mode)
+    env.model = env.model.with_options(
+        soa="force", gather_mode=mode, slot_pack=slot_pack
+    )
     B = 2
     st = jax.jit(jax.vmap(env.initial))(jax.random.split(jax.random.key(0), B))
     a = jnp.tile(jnp.asarray([0.3, -0.2, 0.1, 0.05], jnp.float32), (B, 1))
@@ -25,3 +27,12 @@ def _rollout_qpos(mode):
 
 def test_onehot_gather_bitwise_equal():
     assert np.array_equal(_rollout_qpos("gather"), _rollout_qpos("onehot"))
+
+
+def test_slot_pack_bitwise_equal():
+    """Option.slot_pack (packed-slot decode in soa.build_rows' traced
+    contact path, soa._SlotPack): one int gather + one-hot unpack must be
+    bitwise identical to the per-lane gather formulation."""
+    assert np.array_equal(
+        _rollout_qpos("gather"), _rollout_qpos("gather", slot_pack="force")
+    )
