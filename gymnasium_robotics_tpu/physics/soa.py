@@ -1308,13 +1308,47 @@ def build_rows(m: T.Model, d: T.Data):
         cap = getattr(mt.opt, "contact_cap", 0)
         biw_t = m.body_invweight0[:, 0]                       # (nbody, Bm)
 
+        # deepest-`cap` selection per condim group: ONE K-round-argmin pallas
+        # call for ALL capped groups (narrowphase_pallas.topk_select — the
+        # same selection, set AND first-index tie order, as the lane-axis
+        # lax.top_k below, whose sort over (B, ~250) columns x3 groups was
+        # ~6 ms of kitchen's build_rows). f32-only and kernel-gated; other
+        # configs keep the XLA sort.
+        from gymnasium_robotics_tpu.physics import narrowphase_pallas as NPK
+
+        sel_orders = {}
+        capped_cds = [
+            cd for cd in sorted(set(cond_arr.tolist()))
+            if cap and len(np.nonzero(cond_arr == cd)[0]) > cap
+        ]
+        if capped_cds and NPK.use_np_kernel(mt) and dtype == jnp.float32:
+            idxs = [np.nonzero(cond_arr == cd)[0] for cd in capped_cds]
+            maxg = max(len(ix) for ix in idxs)
+            pen_b = _bB(pen_all, B)
+            rows_np = np.stack([
+                np.concatenate([ix, np.full(maxg - len(ix), ix[-1])])
+                for ix in idxs
+            ])
+            mask_np = np.stack(
+                [np.arange(maxg) < len(ix) for ix in idxs]
+            )
+            order_all = NPK.topk_select(
+                pen_b[jnp.asarray(rows_np)], mask_np, cap,
+                interpret=jax.default_backend() != "tpu",
+            )                                                 # (G, cap, B)
+            for gi, cd in enumerate(capped_cds):
+                sel_orders[cd] = order_all[gi]                # (cap, B)
+
         for cd in sorted(set(cond_arr.tolist())):
             idx = np.nonzero(cond_arr == cd)[0]
             capped = bool(cap) and len(idx) > cap
             traced = capped or pruned
             if capped:
                 pen_g = _bB(pen_all, B)[jnp.asarray(idx)]     # (g, B)
-                _, order = jax.lax.top_k(-pen_g.T, cap)       # (B, cap)
+                if cd in sel_orders:
+                    order = jnp.swapaxes(sel_orders[cd], 0, 1)  # (B, cap)
+                else:
+                    _, order = jax.lax.top_k(-pen_g.T, cap)   # (B, cap)
                 sel_c = jnp.asarray(idx)[order].T             # (cap, B)
                 k = cap
                 pos_s = jnp.take_along_axis(c.pos, sel_c[:, None, :], axis=0)

@@ -209,6 +209,47 @@ def mode_step1(env_id, B):
          eps=round(B / t, 1))
 
 
+def mode_fk(env_id, B):
+    """A/B the pallas FK kernel vs the XLA level pass (soa.kinematics),
+    plus full step1 with it on."""
+    import dataclasses
+
+    from gymnasium_robotics_tpu.physics import (
+        kinematics_pallas as KP, soa,
+    )
+
+    env = _env_with(env_id)
+    m = env.model
+    datas = jax.jit(jax.vmap(lambda r: env.initial(r).data))(
+        jax.random.split(jax.random.key(0), B)
+    )
+    mb = jax.tree_util.tree_map(lambda _: False, m)
+    db = jax.tree_util.tree_map(lambda _: True, datas)
+    ms = soa._model_to_soa(m, mb)
+    ds = jax.jit(lambda d: soa._data_to_soa(d, db, B))(datas)
+    ds = dataclasses.replace(
+        ds, ctrl=jnp.zeros((m.meta.nu, B), ds.qpos.dtype)
+    )
+    ds = jax.jit(lambda d: soa.step(ms, d))(ds)
+    jax.block_until_ready(ds.qpos)
+    emit(probe="r5_fk", env=env_id, B=B,
+         supported=bool(KP.supported(ms, ds)))
+    for name, opts in (("xla", {}), ("pallas", {"fk_kernel": "force"})):
+        msx = ms.with_options(**opts) if opts else ms
+        t = timeit(jax.jit(lambda d: soa.kinematics(msx, d).xpos), ds)
+        emit(probe="r5_fk", env=env_id, B=B, variant=name,
+             ms=round(t * 1e3, 3))
+    # step-level effect
+    env2 = _env_with(env_id, fk_kernel="force")
+    st = jax.jit(jax.vmap(env2.initial))(
+        jax.random.split(jax.random.key(0), B)
+    )
+    a = jnp.zeros((B,) + env2.action_space.shape, jnp.float32)
+    t = timeit(jax.jit(jax.vmap(env2.step)), st, a)
+    emit(probe="r5_fk", env=env_id, B=B, variant="step_fk_on",
+         ms=round(t * 1e3, 3), eps=round(B / t, 1))
+
+
 def mode_rows(env_id, B):
     """soa.build_rows in isolation (one jit): run with/without
     GRT_NO_SLOTPACK=1 to A/B the packed-slot decode."""
@@ -244,4 +285,4 @@ if __name__ == "__main__":
     emit(probe="r5_meta", mode=mode, env=env_id, B=B,
          backend=jax.default_backend())
     {"collision": mode_collision, "step": mode_step, "step1": mode_step1,
-     "phases": mode_phases, "rows": mode_rows}[mode](env_id, B)
+     "phases": mode_phases, "rows": mode_rows, "fk": mode_fk}[mode](env_id, B)
