@@ -1246,10 +1246,15 @@ def _make_narrowphase_core_pruned(meta: T.Meta, plan):
                     jnp.asarray(slot_ids.reshape(-1), jnp.int32)[:, None],
                     (k * S, B),
                 )
-            # hybrid routing: with Option.mpr forced on TPU, MESH groups run
-            # the XLA MPR formulas (Mosaic cannot lower MPR's scatter-adds)
-            # while every primitive group stays inside the megakernel.
-            group_mpr = t2 == T.MESH and use_mpr_xla(meta)
+            # hybrid routing: with Option.mpr on, the groups MPR actually
+            # upgrades (box-hull / hull-hull — _make_box_hull/_make_hull_hull
+            # are the only use_mpr consumers) run the XLA MPR formulas
+            # (Mosaic cannot lower MPR's scatter-adds) while every other
+            # group — primitives AND sphere/capsule/cyl/plane-vs-mesh —
+            # stays inside the megakernel.
+            group_mpr = (
+                t2 == T.MESH and t1 in (T.BOX, T.MESH) and use_mpr_xla(meta)
+            )
             if use_kernel and not group_mpr:
                 arrs = NPK.pack_group_arrays(
                     t1, p1, R1, s1, p2, R2, s2, hull1, hull2

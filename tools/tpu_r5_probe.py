@@ -159,6 +159,10 @@ def mode_phases(env_id, B):
             d = soa.collision(ms, d)
             if stop == "collision":
                 return d.contact.dist
+            if stop == "collision_full":
+                # force dist AND pos AND frame: no DCE of the frame/stitch
+                # chains (the dist-only stop lets XLA drop them)
+                return d.contact.dist, d.contact.pos, d.contact.frame
             d = soa.com_vel(ms, d)
             d = soa.rne(ms, d)
             d = soa.fwd_passive(ms, d)
@@ -186,7 +190,7 @@ def mode_phases(env_id, B):
         return jax.jit(f)
 
     prev = 0.0
-    for stop in ("kin", "com_crb", "collision", "smooth_rest",
+    for stop in ("kin", "com_crb", "collision", "collision_full",
                  "qacc_smooth", "build_rows", "solve", "euler"):
         t = timeit(chain_to(stop), ds) * 1e3
         emit(probe="r5_phase", env=env_id, B=B, upto=stop,
@@ -250,6 +254,96 @@ def mode_fk(env_id, B):
          ms=round(t * 1e3, 3), eps=round(B / t, 1))
 
 
+def mode_rowsbisect(env_id, B):
+    """Bisect soa.build_rows' cost for pruned+capped f32 models: time
+    cumulative sub-chains of the contact section (selection -> gathers ->
+    param unpack -> jacobians -> pyramid+concat ~= full build_rows)."""
+    import dataclasses
+
+    from gymnasium_robotics_tpu.physics import (
+        collision as COL, narrowphase_pallas as NPK, soa,
+    )
+
+    env = _env_with(env_id)
+    m = env.model
+    datas = jax.jit(jax.vmap(lambda r: env.initial(r).data))(
+        jax.random.split(jax.random.key(0), B)
+    )
+    mb = jax.tree_util.tree_map(lambda _: False, m)
+    db = jax.tree_util.tree_map(lambda _: True, datas)
+    ms = soa._model_to_soa(m, mb)
+    ds = jax.jit(lambda d: soa._data_to_soa(d, db, B))(datas)
+    ds = dataclasses.replace(
+        ds, ctrl=jnp.zeros((m.meta.nu, B), ds.qpos.dtype)
+    )
+    ds = jax.jit(lambda d: soa.step(ms, d))(ds)
+    jax.block_until_ready(ds.qpos)
+    mt = ms.meta
+    cond_arr = COL.compact_condim(mt)
+    cap = mt.opt.contact_cap
+    dtype = jnp.float32
+    import numpy as np
+
+    def contact_chain(stop):
+        def f(d):
+            c = d.contact
+            pk_tbl = soa._SlotPack(ms, mt)
+            packed_c = jnp.take(jnp.asarray(pk_tbl.pack), c.src)
+            pen_all = c.dist - pk_tbl.margin(packed_c, dtype)
+            masks_np = soa.CST._body_dof_masks(mt)
+            outs = []
+            idxs = [np.nonzero(cond_arr == cd)[0]
+                    for cd in sorted(set(cond_arr.tolist()))]
+            maxg = max(len(ix) for ix in idxs)
+            rows_np = np.stack([
+                np.concatenate([ix, np.full(maxg - len(ix), ix[-1])])
+                for ix in idxs])
+            mask_np = np.stack([np.arange(maxg) < len(ix) for ix in idxs])
+            order_all = NPK.topk_select(
+                pen_all[jnp.asarray(rows_np)], mask_np, cap,
+                interpret=jax.default_backend() != "tpu")
+            if stop == "select":
+                return order_all
+            for gi, (cd, idx) in enumerate(
+                    zip(sorted(set(cond_arr.tolist())), idxs)):
+                order = order_all[gi]                      # (cap, B)
+                sel_c = jnp.asarray(idx)[order]
+                pos_s = jnp.take_along_axis(
+                    c.pos, sel_c[:, None, :], axis=0)
+                frame_s = jnp.take_along_axis(
+                    c.frame, sel_c[:, None, None, :], axis=0)
+                pen = jnp.take_along_axis(
+                    pen_all[jnp.asarray(idx)], order, axis=0)
+                pk = jnp.take_along_axis(packed_c, sel_c, axis=0)
+                if stop == "gather":
+                    outs += [pos_s, frame_s, pen, pk]
+                    continue
+                ohb1, ohb2, sr_s, si_s, mu_s = pk_tbl.unpack(pk, dtype)
+                if stop == "unpack":
+                    outs += [ohb1, sr_s, mu_s]
+                    continue
+                jp1, jr1 = soa._jacs_onehot(ms, d, masks_np, pos_s, ohb1)
+                jp2, jr2 = soa._jacs_onehot(ms, d, masks_np, pos_s, ohb2)
+                Jp = jp2 - jp1
+                Jr = jr2 - jr1
+                Jn = jnp.einsum("kvcb,kcb->kvb", Jp, frame_s[:, 0])
+                if stop == "jacs":
+                    outs += [Jn, Jr[:, 0]]
+                    continue
+            return outs
+        return jax.jit(f)
+
+    prev = 0.0
+    for stop in ("select", "gather", "unpack", "jacs"):
+        t = timeit(contact_chain(stop), ds) * 1e3
+        emit(probe="r5_rowsbisect", env=env_id, B=B, upto=stop,
+             ms=round(t, 3), marginal_ms=round(t - prev, 3))
+        prev = t
+    t = timeit(jax.jit(lambda d: soa.build_rows(ms, d)[0]), ds) * 1e3
+    emit(probe="r5_rowsbisect", env=env_id, B=B, upto="full_build_rows",
+         ms=round(t, 3), marginal_ms=round(t - prev, 3))
+
+
 def mode_rows(env_id, B):
     """soa.build_rows in isolation (one jit): run with/without
     GRT_NO_SLOTPACK=1 to A/B the packed-slot decode."""
@@ -285,4 +379,5 @@ if __name__ == "__main__":
     emit(probe="r5_meta", mode=mode, env=env_id, B=B,
          backend=jax.default_backend())
     {"collision": mode_collision, "step": mode_step, "step1": mode_step1,
-     "phases": mode_phases, "rows": mode_rows, "fk": mode_fk}[mode](env_id, B)
+     "phases": mode_phases, "rows": mode_rows, "fk": mode_fk,
+     "rowsbisect": mode_rowsbisect}[mode](env_id, B)
