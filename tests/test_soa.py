@@ -164,3 +164,44 @@ def test_soa_single_env_falls_back():
     np.testing.assert_allclose(
         np.asarray(a.qpos), np.asarray(b.qpos), rtol=0, atol=1e-6
     )
+
+
+def test_fk_kernel_bitwise_equals_xla_pass():
+    """Option.fk_kernel (fused FK pallas kernel, kinematics_pallas.py,
+    interpret mode on CPU) must match the SoA level pass for every pose
+    output the pipeline consumes. Tolerance: the kernel folds model
+    constants at compile time, reordering a few f32 ops (observed max
+    6e-8, ~1 ulp); everything else must agree to that noise floor."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gymnasium_robotics_tpu import registry
+    from gymnasium_robotics_tpu.physics import soa
+
+    for eid in ("FetchPush-v4", "FrankaKitchen-v1"):
+        env = registry.make(eid)
+        m = env.model
+        B = 128  # kernel requires lane-divisible batch
+        datas = jax.jit(jax.vmap(lambda r: env.initial(r).data))(
+            jax.random.split(jax.random.key(0), B)
+        )
+        mb = jax.tree_util.tree_map(lambda _: False, m)
+        db = jax.tree_util.tree_map(lambda _: True, datas)
+        ms = soa._model_to_soa(m, mb)
+        ds = jax.jit(lambda d: soa._data_to_soa(d, db, B))(datas)
+        ds = dataclasses.replace(
+            ds, ctrl=jnp.zeros((m.meta.nu, B), ds.qpos.dtype)
+        )
+        base = jax.jit(lambda d: soa.kinematics(ms, d))(ds)
+        msk = ms.with_options(fk_kernel="force")
+        kern = jax.jit(lambda d: soa.kinematics(msk, d))(ds)
+        for f in ("xpos", "xquat", "xmat", "xipos", "ximat", "xanchor",
+                  "xaxis", "geom_xpos", "geom_xmat", "site_xpos",
+                  "site_xmat"):
+            a, b = np.asarray(getattr(base, f)), np.asarray(getattr(kern, f))
+            np.testing.assert_allclose(
+                a, b, atol=5e-7, rtol=1e-6, err_msg=f"{eid} {f}"
+            )
