@@ -203,6 +203,192 @@ def matTvec(R, v):
 # ---------------------------------------------------------------------------
 
 
+class _JumpPlan:
+    """Static tables for the pointer-jumping FK tree contraction: joint
+    rounds over ALL bodies at once + 2^k-ancestor tables. Built once per
+    Meta; ``ok=False`` falls back to the sequential level pass (exotic
+    topologies: non-world-attached free/mocap bodies, unknown joint
+    types)."""
+
+    def __init__(self, mt: T.Meta):
+        nb = mt.nbody
+        parent = np.array(mt.body_parentid)
+        self.ok = nb > 1
+        for b in range(nb):
+            adr, num = mt.body_jntadr[b], mt.body_jntnum[b]
+            for j in range(adr, adr + num):
+                if mt.jnt_type[j] not in (T.FREE, T.BALL, T.SLIDE, T.HINGE):
+                    self.ok = False
+                if mt.jnt_type[j] == T.FREE and parent[b] != 0:
+                    self.ok = False  # free joint sets the WORLD pose
+            if mt.body_mocapid[b] >= 0 and parent[b] != 0:
+                self.ok = False  # mocap override is a world pose
+        if not self.ok:
+            return
+        # 2^k-ancestor tables (0 = world is absorbing; L[0] = identity)
+        self.ancs = []
+        anc = parent.copy()
+        while anc.any():
+            self.ancs.append(anc.copy())
+            anc = anc[anc]
+        # joint rounds: round r applies every body's r-th joint, by type
+        maxr = max((mt.body_jntnum[b] for b in range(nb)), default=0)
+        self.rounds = []
+        for r in range(maxr):
+            groups: dict = {}
+            for b in range(nb):
+                if mt.body_jntnum[b] <= r:
+                    continue
+                j = mt.body_jntadr[b] + r
+                jt = mt.jnt_type[j]
+                g = groups.setdefault(
+                    jt, {"li": [], "jids": [], "qadr": [], "qidx": []}
+                )
+                g["li"].append(b)
+                g["jids"].append(j)
+                qa = mt.jnt_qposadr[j]
+                g["qadr"].append(qa)
+                width = 7 if jt == T.FREE else 4
+                g["qidx"].append([qa + i for i in range(width)])
+            self.rounds.append({
+                jt: {k: np.array(v) for k, v in g.items()}
+                for jt, g in groups.items()
+            })
+        self.parent = parent
+        mids = [(b, mt.body_mocapid[b]) for b in range(nb)
+                if mt.body_mocapid[b] >= 0]
+        self.mocap_bodies = np.array([b for b, _ in mids])
+        self.mocap_ids = np.array([i for _, i in mids])
+        self.jnt_parent = parent[np.array(mt.jnt_bodyid)] if mt.njnt else \
+            np.zeros(0, np.int64)
+
+
+_JUMP_PLAN_CACHE: dict = {}
+
+
+def _jump_plan(mt: T.Meta) -> _JumpPlan:
+    key = hash(mt)
+    p = _JUMP_PLAN_CACHE.get(key)
+    if p is None:
+        p = _JumpPlan(mt)
+        _JUMP_PLAN_CACHE[key] = p
+    return p
+
+
+def _kinematics_jump(m: T.Model, d: T.Data, plan: _JumpPlan) -> T.Data:
+    """Pointer-jumping FK: every body's LOCAL transform (parent-relative,
+    joints folded in) is built in ONE vectorized pass, then world poses come
+    from ceil(log2(depth)) ancestor-doubling compositions instead of a
+    sequential per-level walk (kitchen: 10 levels -> 4 steps; the traced
+    program shrinks ~10x, which is what the per-fusion-overhead-bound TPU
+    runtime pays for). Same math as the level pass modulo f32 reordering
+    (joint application is parent-composable: rot(mul(a,b),v) ==
+    rot(a, rot(b,v)))."""
+    mt = m.meta
+    dtype = d.qpos.dtype
+    B = d.qpos.shape[-1]
+    nb = mt.nbody
+
+    # phase 1: local transforms + joint anchors/axes in the parent frame
+    pos = _bB(m.body_pos.astype(dtype), B)
+    quat = _bB(m.body_quat.astype(dtype), B)
+    anchor_l = jnp.zeros((mt.njnt, 3, B), dtype)
+    axis_l = jnp.zeros((mt.njnt, 3, B), dtype)
+    for groups in plan.rounds:
+        for jt, g in groups.items():
+            li = jnp.asarray(g["li"])
+            jids = jnp.asarray(g["jids"])
+            if jt == T.FREE:
+                q7 = d.qpos[jnp.asarray(g["qidx"])]        # (k, 7, B)
+                fquat, _ = normalize(q7[:, 3:7])
+                pos = pos.at[li].set(q7[:, :3])
+                quat = quat.at[li].set(fquat)
+                anchor_l = anchor_l.at[jids].set(q7[:, :3])
+                axis_l = axis_l.at[jids].set(
+                    quat_rot(fquat, _bB(m.jnt_axis[jids].astype(dtype), B))
+                )
+            elif jt == T.BALL:
+                q4 = d.qpos[jnp.asarray(g["qidx"])]        # (k, 4, B)
+                q4, _ = normalize(q4)
+                jp = _bB(m.jnt_pos[jids].astype(dtype), B)
+                anc = pos[li] + quat_rot(quat[li], jp)
+                nquat = quat_mul(quat[li], q4)
+                quat = quat.at[li].set(nquat)
+                pos = pos.at[li].set(anc - quat_rot(nquat, jp))
+                anchor_l = anchor_l.at[jids].set(anc)
+                axis_l = axis_l.at[jids].set(
+                    quat_rot(nquat, _bB(m.jnt_axis[jids].astype(dtype), B))
+                )
+            elif jt == T.SLIDE:
+                qa = jnp.asarray(g["qadr"])
+                qv = d.qpos[qa] - m.qpos0[qa]              # (k, B)
+                ax = quat_rot(quat[li], _bB(m.jnt_axis[jids].astype(dtype), B))
+                npos = pos[li] + ax * qv[:, None, :]
+                pos = pos.at[li].set(npos)
+                anchor_l = anchor_l.at[jids].set(
+                    npos + quat_rot(
+                        quat[li], _bB(m.jnt_pos[jids].astype(dtype), B)
+                    )
+                )
+                axis_l = axis_l.at[jids].set(ax)
+            elif jt == T.HINGE:
+                qa = jnp.asarray(g["qadr"])
+                qv = d.qpos[qa] - m.qpos0[qa]
+                jp = _bB(m.jnt_pos[jids].astype(dtype), B)
+                jax_ = _bB(m.jnt_axis[jids].astype(dtype), B)
+                ax_w = quat_rot(quat[li], jax_)
+                anc = pos[li] + quat_rot(quat[li], jp)
+                dq = axis_angle_to_quat(jax_, qv)
+                nquat = quat_mul(quat[li], dq)
+                quat = quat.at[li].set(nquat)
+                pos = pos.at[li].set(anc - quat_rot(nquat, jp))
+                anchor_l = anchor_l.at[jids].set(anc)
+                axis_l = axis_l.at[jids].set(ax_w)
+    if len(plan.mocap_bodies):
+        mb = jnp.asarray(plan.mocap_bodies)
+        mid = jnp.asarray(plan.mocap_ids)
+        mq, _ = normalize(d.mocap_quat[mid])
+        pos = pos.at[mb].set(d.mocap_pos[mid])
+        quat = quat.at[mb].set(mq)
+
+    # phase 2: ancestor doubling (L[0] is identity; anc saturates at 0 so
+    # extra compositions are no-ops)
+    for anc_np in plan.ancs:
+        ai = jnp.asarray(anc_np)
+        pos = pos[ai] + quat_rot(quat[ai], pos)
+        quat = quat_mul(quat[ai], quat)
+    xpos, xquat = pos, quat
+
+    # phase 3: joint world anchors/axes from the PARENT world frame
+    if mt.njnt:
+        pj = jnp.asarray(plan.jnt_parent)
+        xanchor = xpos[pj] + quat_rot(xquat[pj], anchor_l)
+        xaxis = quat_rot(xquat[pj], axis_l)
+    else:
+        xanchor = jnp.zeros((0, 3, B), dtype)
+        xaxis = jnp.zeros((0, 3, B), dtype)
+
+    xmat = quat_to_mat(xquat)
+    xipos = xpos + quat_rot(xquat, m.body_ipos)
+    ximat = quat_to_mat(quat_mul(xquat, m.body_iquat))
+    gb = jnp.asarray(np.array(mt.geom_bodyid))
+    geom_xpos = xpos[gb] + quat_rot(xquat[gb], m.geom_pos)
+    geom_xmat = quat_to_mat(quat_mul(xquat[gb], m.geom_quat))
+    if mt.nsite:
+        sb = jnp.asarray(np.array(mt.site_bodyid))
+        site_xpos = xpos[sb] + quat_rot(xquat[sb], m.site_pos)
+        site_xmat = quat_to_mat(quat_mul(xquat[sb], m.site_quat))
+    else:
+        site_xpos = jnp.zeros((0, 3, B), dtype)
+        site_xmat = jnp.zeros((0, 3, 3, B), dtype)
+    return dataclasses.replace(
+        d, xpos=xpos, xquat=xquat, xmat=xmat, xipos=xipos, ximat=ximat,
+        xanchor=xanchor, xaxis=xaxis,
+        geom_xpos=geom_xpos, geom_xmat=geom_xmat,
+        site_xpos=site_xpos, site_xmat=site_xmat,
+    )
+
+
 def kinematics(m: T.Model, d: T.Data) -> T.Data:
     mt = m.meta
     dtype = d.qpos.dtype
@@ -218,6 +404,11 @@ def kinematics(m: T.Model, d: T.Data) -> T.Data:
             return KP.kinematics(
                 m, d, interpret=jax.default_backend() != "tpu"
             )
+    fj = getattr(mt.opt, "fk_jump", "auto")
+    if fj is True or fj == "force" or fj == "auto":
+        jplan = _jump_plan(mt)
+        if jplan.ok:
+            return _kinematics_jump(m, d, jplan)
     plan = SV._plan(mt)
 
     xpos = jnp.zeros((mt.nbody, 3, B), dtype)

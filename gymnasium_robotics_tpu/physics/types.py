@@ -117,6 +117,13 @@ class Option:
     # fixed per-dispatch overhead is subtracted), so default off until the
     # in-scan A/B favors it. True/"force" = on, "auto" = TPU only.
     fk_kernel: Any = False
+    # pointer-jumping FK in the SoA pipeline (soa._kinematics_jump): local
+    # transforms for ALL bodies in one vectorized pass, then world poses by
+    # 2^k ancestor doubling — ceil(log2(depth)) compositions instead of a
+    # sequential per-level walk (kitchen kin trace 4,456 -> 1,736 eqns).
+    # Same math modulo f32 reordering; "auto" (default) = on whenever the
+    # topology qualifies (soa._JumpPlan.ok), False = sequential level pass.
+    fk_jump: Any = "auto"
     # Compute per-body contact wrenches (Data.cfrc_ext, mj_rnePostConstraint
     # analogue). Only locomotion observations/costs read them (Ant v5,
     # Humanoid); the decode is two (ncon, B)-indexed scatter-adds — among
