@@ -295,8 +295,14 @@ def _fk_call(meta, fk, interpret, dtype_name, qpos, mpos, mquat, lanes=None):
 
 def supported(m: T.Model, d) -> bool:
     """Kernel applicability: concrete FK constants available, lane-divisible
-    batch, and every joint a known type."""
+    batch, every joint a known type, and a tree small enough for the
+    fully-unrolled kernel body — at nbody=44 (kitchen) the unrolled trace
+    blows up both Mosaic (TPU compile hung >40 min, r5) and interpret-mode
+    XLA (>9 min / C-stack overflow under pytest). Larger trees take the
+    pointer-jumping XLA pass instead (soa._kinematics_jump)."""
     if m.fk_np is None:
+        return False
+    if m.meta.nbody > 36:
         return False
     B = d.qpos.shape[-1]
     if B % _LANES:

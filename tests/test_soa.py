@@ -181,7 +181,7 @@ def test_fk_kernel_bitwise_equals_xla_pass():
     from gymnasium_robotics_tpu import registry
     from gymnasium_robotics_tpu.physics import soa
 
-    for eid in ("FetchPush-v4", "FrankaKitchen-v1"):
+    for eid in ("FetchPush-v4",):
         env = registry.make(eid)
         m = env.model
         B = 128  # kernel requires lane-divisible batch
@@ -205,3 +205,19 @@ def test_fk_kernel_bitwise_equals_xla_pass():
             np.testing.assert_allclose(
                 a, b, atol=5e-7, rtol=1e-6, err_msg=f"{eid} {f}"
             )
+
+    # big trees (kitchen, nbody=44) must NOT take the unrolled kernel —
+    # its trace blows up Mosaic and interpret-mode XLA (r5) — they use the
+    # pointer-jumping pass instead
+    from gymnasium_robotics_tpu.physics import kinematics_pallas as KP
+
+    envk = registry.make("FrankaKitchen-v1")
+    mk = jax.tree_util.tree_map(lambda _: False, envk.model)
+    msk2 = soa._model_to_soa(envk.model, mk)
+    dk = jax.jit(jax.vmap(lambda r: envk.initial(r).data))(
+        jax.random.split(jax.random.key(0), 128)
+    )
+    dbk = jax.tree_util.tree_map(lambda _: True, dk)
+    dsk = jax.jit(lambda d: soa._data_to_soa(d, dbk, 128))(dk)
+    assert not KP.supported(msk2, dsk)
+    assert soa._jump_plan(msk2.meta).ok
