@@ -446,7 +446,8 @@ def test_long_horizon_drift_guard(ref_id, our_id, nact, bound):
     not __import__("os").path.exists("/root/reference"),
     reason="reference checkout not mounted",
 )
-def test_kitchen_tracks_reference():
+@pytest.mark.parametrize("engine_path", ["aos", "soa"])
+def test_kitchen_tracks_reference(engine_path):
     """Same start + same actions (obs noise off) => the reference MuJoCo
     kitchen rollout and this engine agree over 10 env steps (400 substeps).
     Guards the pair_topk/contact_cap pruning of the kitchen candidate table
@@ -455,7 +456,12 @@ def test_kitchen_tracks_reference():
     is missing wood1.png) with the reference's exact ctrl pipeline —
     velocity-limit integration from the last qpos then position clipping
     (reference franka_kitchen/franka_env.py:92-105,141-172) — and
-    mj_step(nstep=40) (robot_env.py:340-341)."""
+    mj_step(nstep=40) (robot_env.py:340-341).
+
+    engine_path="soa" re-runs the SAME rollout through the batch-last SoA
+    pipeline (soa="force", B=1 under vmap) — i.e. the TPU production path
+    incl. the pointer-jumping FK, slot-pack row build and cap-selection —
+    so TPU-path semantics are pinned against the C engine on CPU."""
     import os
     import shutil
     import tempfile
@@ -477,6 +483,8 @@ def test_kitchen_tracks_reference():
     env = registry.make(
         "FrankaKitchen-v1", robot_noise_ratio=0.0, object_noise_ratio=0.0
     )
+    if engine_path == "soa":
+        env.model = env.model.with_options(soa="force")
     s = env.initial(jax.random.key(0))
     # with noise off the reset lands exactly on the reference init state
     dr.qpos[:] = np.asarray(s.data.qpos, np.float64)
@@ -489,7 +497,13 @@ def test_kitchen_tracks_reference():
     vel_hi = np.asarray(env._vel_bound)[:9, 1]
     dt = float(env.dt)
 
-    step = jax.jit(env.step)
+    if engine_path == "soa":
+        # B=1 under vmap: routes through the SoA custom_vmap (the TPU
+        # production path) instead of the per-env AoS fallback
+        step = jax.jit(jax.vmap(env.step))
+        s = jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None], s)
+    else:
+        step = jax.jit(env.step)
     rng = np.random.default_rng(11)
     last_qpos = dr.qpos[:9].copy()
     for _ in range(10):
@@ -498,8 +512,11 @@ def test_kitchen_tracks_reference():
         dr.ctrl[:] = np.clip(last_qpos + v * dt, pos_lo, pos_hi)
         mujoco.mj_step(mr, dr, nstep=40)
         last_qpos = dr.qpos[:9].copy()
-        s = step(s, jnp.asarray(a))
+        aa = jnp.asarray(a)
+        s = step(s, aa[None] if engine_path == "soa" else aa)
     q_ours = np.asarray(s.data.qpos)
+    if engine_path == "soa":
+        q_ours = q_ours[0]
     assert np.isfinite(q_ours).all()
     qerr = float(np.max(np.abs(q_ours - dr.qpos)))
     assert qerr < 0.05, f"kitchen qpos drift {qerr}"
