@@ -48,9 +48,12 @@ def test_goalenv_families_dict_obs():
     not __import__("os").path.exists("/root/reference"),
     reason="reference checkout not mounted",
 )
-def test_fetch_reach_tracks_reference():
+@pytest.mark.parametrize("engine_path", ["aos", "soa"])
+def test_fetch_reach_tracks_reference(engine_path):
     """Same initial state + same actions => the reference MuJoCo rollout and
-    this engine agree to mm-level over 10 env steps (200 substeps)."""
+    this engine agree to mm-level over 10 env steps (200 substeps).
+    engine_path="soa" routes through the batch-last TPU production path
+    (B=1 under vmap): mocap welds + pointer-jumping FK vs the C engine."""
     import dataclasses
     import sys
 
@@ -65,6 +68,8 @@ def test_fetch_reach_tracks_reference():
         pytest.skip(f"reference env unavailable: {e}")
     ref.reset(seed=0)
     env = registry.make("FetchReach-v4")
+    if engine_path == "soa":
+        env.model = env.model.with_options(soa="force")
     s = env.initial(jax.random.key(0))
     d = dataclasses.replace(
         s.data,
@@ -78,13 +83,21 @@ def test_fetch_reach_tracks_reference():
     d = smooth.kinematics(env.model, d)
     d = smooth.com_pos(env.model, d)
     s = dataclasses.replace(s, data=d)
-    step = jax.jit(env.step)
+    if engine_path == "soa":
+        step = jax.jit(jax.vmap(env.step))
+        s = jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None], s)
+    else:
+        step = jax.jit(env.step)
     rng = np.random.default_rng(3)
     for _ in range(10):
         a = rng.uniform(-1, 1, 4).astype(np.float32)
         robs, *_ = ref.step(a)
-        s = step(s, jnp.asarray(a))
-    err = np.max(np.abs(np.asarray(s.obs["observation"]) - robs["observation"]))
+        aa = jnp.asarray(a)
+        s = step(s, aa[None] if engine_path == "soa" else aa)
+    ours = np.asarray(s.obs["observation"])
+    if engine_path == "soa":
+        ours = ours[0]
+    err = np.max(np.abs(ours - robs["observation"]))
     assert err < 5e-3, f"fetch reach obs drift {err}"
 
 
