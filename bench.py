@@ -219,8 +219,11 @@ def main():
         if cpu:
             num_envs = max(num_envs // 16, 64)
         t0 = time.perf_counter()
+        # 480 s cap: with a cold .jax_cache (the r5 code reworked every
+        # family's HLO) compile alone is 2-4 min for hand/kitchen; the
+        # remaining() guard still protects the global budget
         sps = bench_family(env_id, num_envs, steps,
-                           timeout_s=min(420, remaining()))
+                           timeout_s=min(480, remaining()))
         if sps is None:
             h.detail[env_id] = {"error": "timeout (compile service?)"}
             h.flush_detail()
