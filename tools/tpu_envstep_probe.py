@@ -38,8 +38,22 @@ def main():
     jax.block_until_ready(st.reward)
     a = jnp.zeros((B,) + env.action_space.shape, jnp.float32)
 
+    n_sub_i = int(getattr(env, "n_substeps", 0) or
+                  getattr(getattr(env, "cfg", None), "frame_skip", 0) or 1)
+    from gymnasium_robotics_tpu.physics import soa as _soa
+
+    def _boundary_roundtrip(d):
+        db = jax.tree_util.tree_map(lambda _: True, d)
+        ds = _soa._data_to_soa(d, db, B)
+        return _soa._data_from_soa(ds).qpos
+
     probes = {
         "env_step": jax.jit(jax.vmap(env.step)),
+        "physics_step_n": jax.jit(jax.vmap(
+            lambda d: pipeline.step_n(env.model, d, d.ctrl, n_sub_i).qpos
+        )),
+        # AoS<->SoA transpose boundary alone (paid once per env.step)
+        "soa_boundary": jax.jit(_boundary_roundtrip),
         "env_reset": jax.jit(jax.vmap(env.reset)),
         "auto_reset": jax.jit(jax.vmap(functools.partial(core.auto_reset, env))),
         "initial": jax.jit(jax.vmap(env.initial)),
@@ -54,6 +68,8 @@ def main():
                 t = timeit(fn, st, jax.random.split(jax.random.key(1), B))
             elif name == "auto_reset":
                 t = timeit(fn, st, a)
+            elif name in ("physics_step_n", "soa_boundary"):
+                t = timeit(fn, st.data)
             else:
                 t = timeit(fn, jax.random.split(jax.random.key(2), B))
             emit(probe="envstep", env=env_id, B=B, stage=name,
