@@ -347,10 +347,14 @@ def test_point_maze_reset_cell_options():
     not __import__("os").path.exists("/root/reference"),
     reason="reference checkout not mounted",
 )
-def test_adroit_door_tracks_reference():
+@pytest.mark.parametrize("engine_path", ["aos", "soa"])
+def test_adroit_door_tracks_reference(engine_path):
     """Same state + same actions => the reference MuJoCo rollout and this
     engine agree over 10 env steps (50 substeps) with the convex-hull
-    narrowphase (reference envs/adroit_hand/adroit_door.py:288-313)."""
+    narrowphase (reference envs/adroit_hand/adroit_door.py:288-313).
+    engine_path="soa" routes through the batch-last TPU production path
+    (B=1 under vmap): slot-pack row build + one-hot jacobians + jump FK
+    with the per-env aux-rebinding scene randomization."""
     import sys
 
     sys.path.insert(0, "/root/reference")
@@ -364,6 +368,8 @@ def test_adroit_door_tracks_reference():
         pytest.skip(f"reference env unavailable: {e}")
     ref.reset(seed=0)
     env = registry.make("AdroitHandDoor-v2")
+    if engine_path == "soa":
+        env.model = env.model.with_options(soa="force", slot_pack="force")
     s = env.initial(jax.random.key(0))
     # mirror the reference's randomized scene through the state-dict API
     s = env.set_env_state(
@@ -374,15 +380,24 @@ def test_adroit_door_tracks_reference():
             "door_body_pos": ref.model.body_pos[ref.door_body_id].copy(),
         },
     )
-    step = jax.jit(env.step)
+    if engine_path == "soa":
+        step = jax.jit(jax.vmap(env.step))
+        s = jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None], s)
+    else:
+        step = jax.jit(env.step)
     rng = np.random.default_rng(5)
     for _ in range(10):
         a = rng.uniform(-0.2, 0.2, 28).astype(np.float32)
         robs, rr, *_ = ref.step(a)
-        s = step(s, jnp.asarray(a))
-    qerr = np.max(np.abs(np.asarray(s.data.qpos) - ref.data.qpos))
+        aa = jnp.asarray(a)
+        s = step(s, aa[None] if engine_path == "soa" else aa)
+    q_ours = np.asarray(s.data.qpos)
+    reward = np.asarray(s.reward).reshape(-1)[0]
+    if engine_path == "soa":
+        q_ours = q_ours[0]
+    qerr = np.max(np.abs(q_ours - ref.data.qpos))
     assert qerr < 0.05, f"adroit door qpos drift {qerr}"
-    assert abs(float(s.reward) - rr) < 0.05, (float(s.reward), rr)
+    assert abs(float(reward) - rr) < 0.05, (float(reward), rr)
 
 
 @pytest.mark.skipif(
