@@ -238,20 +238,29 @@ def mode_fk(env_id, B):
     jax.block_until_ready(ds.qpos)
     emit(probe="r5_fk", env=env_id, B=B,
          supported=bool(KP.supported(ms, ds)))
-    for name, opts in (("xla", {}), ("pallas", {"fk_kernel": "force"})):
+    for name, opts in (
+        ("jump", {}),                      # production default (fk_jump auto)
+        ("levels", {"fk_jump": False}),    # pre-r5 level pass
+        ("pallas", {"fk_kernel": "force"}),
+    ):
         msx = ms.with_options(**opts) if opts else ms
         t = timeit(jax.jit(lambda d: soa.kinematics(msx, d).xpos), ds)
         emit(probe="r5_fk", env=env_id, B=B, variant=name,
              ms=round(t * 1e3, 3))
-    # step-level effect
-    env2 = _env_with(env_id, fk_kernel="force")
-    st = jax.jit(jax.vmap(env2.initial))(
-        jax.random.split(jax.random.key(0), B)
-    )
-    a = jnp.zeros((B,) + env2.action_space.shape, jnp.float32)
-    t = timeit(jax.jit(jax.vmap(env2.step)), st, a)
-    emit(probe="r5_fk", env=env_id, B=B, variant="step_fk_on",
-         ms=round(t * 1e3, 3), eps=round(B / t, 1))
+    # step-level effect of each FK routing
+    for name, opts in (
+        ("step_jump", {}),
+        ("step_levels", {"fk_jump": False}),
+        ("step_fk_kernel", {"fk_kernel": "force"}),
+    ):
+        env2 = _env_with(env_id, **opts)
+        st = jax.jit(jax.vmap(env2.initial))(
+            jax.random.split(jax.random.key(0), B)
+        )
+        a = jnp.zeros((B,) + env2.action_space.shape, jnp.float32)
+        t = timeit(jax.jit(jax.vmap(env2.step)), st, a)
+        emit(probe="r5_fk", env=env_id, B=B, variant=name,
+             ms=round(t * 1e3, 3), eps=round(B / t, 1))
 
 
 def mode_rowsbisect(env_id, B):
